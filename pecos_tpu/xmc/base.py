@@ -1,0 +1,607 @@
+"""XMC model classes: MLProblem, MLModel (one layer), HierarchicalMLModel.
+
+Host-facing API parity with the reference (pecos/xmc/base.py:488-1901), with
+the compute re-designed TPU-first:
+
+- training: per-label dual coordinate descent under OpenMP
+  (linear_solver.hpp:798-860) -> batched primal Newton-CG over label blocks on
+  the MXU (pecos_tpu.xmc.solvers), active sets expressed as masks.
+- inference: chunked CSR beam walk (inference.hpp:2447-2488) -> static-shape
+  beam search with padded children tables (pecos_tpu.xmc.inference).
+
+Model persistence matches the reference directory layout byte-for-byte where
+practical: ``param.json`` + ``W.npz``/``C.npz`` per layer (xmc/base.py:807-830),
+``{d}.model`` subfolders for the chain (:1371-1395), so models trained by
+either implementation can be loaded by the other for A/B comparison.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses as dc
+import json
+import logging
+import os
+from typing import Any, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as smat
+
+import pecos_tpu
+from pecos_tpu.utils import smat_util
+from pecos_tpu.utils.cluster_util import ClusterChain
+from . import solvers
+from .inference import (
+    CompiledHierModel,
+    build_device_layer,
+    single_layer_predict,
+)
+from .postprocessor import PostProcessor
+
+LOGGER = logging.getLogger(__name__)
+
+# cap on elements per (N x Lb) solver block intermediate
+_SOLVER_BLOCK_BUDGET = 1 << 26
+
+
+class MLProblem(object):
+    """Container of X, Y, C, M, R defining one multi-label training layer.
+
+    Mirrors reference semantics (pecos/xmc/base.py:488-607): M defaults to the
+    teacher-forcing matching Y @ C when a non-trivial C is given; R must share
+    Y's nonzero pattern and be non-negative.
+    """
+
+    def __init__(self, X, Y, C=None, M=None, R=None):
+        dtype = np.float32
+        if smat.issparse(X):
+            self.X = X.tocsr().astype(dtype)
+        else:
+            self.X = np.asarray(X, dtype=dtype)
+        self.Y = Y.tocsc().astype(dtype) if smat.issparse(Y) else smat.csc_matrix(Y, dtype=dtype)
+        if C is None:
+            C = smat.csc_matrix(np.ones((self.Y.shape[1], 1), dtype=dtype))
+            self.C = C
+        else:
+            self.C = C.tocsc().astype(dtype)
+        self.Y.sort_indices()
+        if R is not None:
+            R = R.tocsc().astype(dtype)
+            R.sort_indices()
+            if not np.array_equal(self.Y.indptr, R.indptr) or not np.array_equal(
+                self.Y.indices, R.indices
+            ):
+                raise ValueError("Invalid relevance matrix: nonzero pattern differs from Y")
+            if (R.data < 0).any():
+                raise ValueError("Invalid relevance matrix: got value < 0")
+        self.R = R
+        if M is None:
+            if self.C.shape[1] > 1:
+                M = (self.Y @ self.C).tocsc()
+            else:
+                M = smat.csc_matrix(np.ones((self.Y.shape[0], 1), dtype=dtype))
+        else:
+            if M.shape[0] != self.Y.shape[0] or M.shape[1] != self.C.shape[1]:
+                raise ValueError("M shape mismatch")
+            M = M.tocsc().astype(dtype)
+        self.M = M
+
+    @property
+    def nr_labels(self):
+        return self.Y.shape[1]
+
+    @property
+    def nr_features(self):
+        return self.X.shape[1]
+
+
+class MLModel(pecos_tpu.BaseClass):
+    """One tree layer: weight matrix W (D+bias, L) CSC + cluster matrix C (L, K)."""
+
+    @dc.dataclass
+    class TrainParams(pecos_tpu.BaseParams):
+        threshold: float = 0.1
+        max_nonzeros_per_label: Optional[int] = None
+        solver_type: str = "L2R_L2LOSS_SVC_DUAL"
+        Cp: float = 1.0
+        Cn: float = 1.0
+        max_iter: int = 100
+        eps: float = 0.1
+        bias: float = 1.0
+        threads: int = -1  # parity only; ignored on TPU
+        verbose: int = 0
+        newton_eps: float = 0.01
+        # TPU extras
+        max_newton_iter: int = 20
+        cg_max_iter: int = 10
+
+    @dc.dataclass
+    class PredParams(pecos_tpu.BaseParams):
+        only_topk: int = 20
+        post_processor: str = "l3-hinge"
+
+        def is_valid(self):
+            return self.post_processor in PostProcessor.valid_list()
+
+    def __init__(self, W=None, C=None, bias: float = -1.0, pred_params=None):
+        if W is None:
+            raise ValueError("W is required")
+        self.W = W.tocsc().astype(np.float32) if smat.issparse(W) else smat.csc_matrix(W, dtype=np.float32)
+        if C is None:
+            C = smat.csc_matrix(np.ones((self.W.shape[1], 1), dtype=np.float32))
+        self.C = C.tocsc().astype(np.float32) if smat.issparse(C) else smat.csc_matrix(C, dtype=np.float32)
+        self.bias = float(bias)
+        self.pred_params = self.PredParams.from_dict(pred_params)
+        self._device_layer = None
+
+    # -- shapes ----------------------------------------------------------------
+    @property
+    def nr_labels(self):
+        return self.W.shape[1]
+
+    @property
+    def nr_features(self):
+        return self.W.shape[0] - (1 if self.bias > 0 else 0)
+
+    @property
+    def nr_codes(self):
+        return self.C.shape[1]
+
+    def astype(self, dtype):
+        return MLModel(self.W.astype(dtype), self.C.astype(dtype), self.bias, self.pred_params)
+
+    def get_pred_params(self):
+        return copy.deepcopy(self.pred_params)
+
+    @property
+    def device_layer(self):
+        if self._device_layer is None:
+            self._device_layer = build_device_layer(self.W, self.C)
+        return self._device_layer
+
+    # -- persistence -----------------------------------------------------------
+    def save(self, folder: str):
+        os.makedirs(folder, exist_ok=True)
+        param = {
+            "model": type(self).__name__,
+            "nr_labels": self.nr_labels,
+            "nr_features": self.nr_features,
+            "nr_codes": self.nr_codes,
+            "bias": self.bias,
+            "pred_kwargs": self.pred_params.to_dict(),
+        }
+        param = self.append_meta(param)
+        with open(os.path.join(folder, "param.json"), "w") as f:
+            json.dump(param, f, indent=True)
+        smat_util.save_matrix(os.path.join(folder, "W.npz"), self.W)
+        smat_util.save_matrix(os.path.join(folder, "C.npz"), self.C)
+
+    @classmethod
+    def load(cls, folder: str) -> "MLModel":
+        with open(os.path.join(folder, "param.json")) as f:
+            param = json.load(f)
+        W = smat_util.load_matrix(os.path.join(folder, "W.npz"))
+        C = smat_util.load_matrix(os.path.join(folder, "C.npz"))
+        pred_params = param.get("pred_kwargs", None)
+        if pred_params is not None:
+            pred_params = {
+                k: v for k, v in pred_params.items() if k in ("only_topk", "post_processor")
+            }
+        return cls(W=W, C=C, bias=param.get("bias", -1.0), pred_params=pred_params)
+
+    # -- training ----------------------------------------------------------------
+    @classmethod
+    def train(
+        cls,
+        prob: MLProblem,
+        train_params: Optional["MLModel.TrainParams"] = None,
+        pred_params: Optional["MLModel.PredParams"] = None,
+        **kwargs,
+    ) -> "MLModel":
+        """Train one layer with the batched primal Newton-CG solver.
+
+        Active set per label (linear_solver.hpp:667-711): rows of M's column
+        for the label's cluster are negatives; rows of Y's column are
+        positives (added if missing from M); cost = (Cp|Cn) * relevance.
+        """
+        train_params = cls.TrainParams.from_dict(train_params)
+        train_params.override_with_kwargs(kwargs)
+        pred_params = cls.PredParams.from_dict(pred_params)
+        loss = solvers.loss_name(train_params.solver_type)
+
+        X, Y, C, M, R = prob.X, prob.Y, prob.C, prob.M, prob.R
+        N = X.shape[0]
+        D = X.shape[1]
+        L = Y.shape[1]
+        bias = train_params.bias
+
+        Xd = np.asarray(X.todense(), dtype=np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        if bias > 0:
+            Xd = np.hstack([Xd, np.full((N, 1), bias, dtype=np.float32)])
+        X_dev = jnp.asarray(Xd)
+        Db = Xd.shape[1]
+
+        parents = C.tocsr().indices.astype(np.int64)  # one cluster per label
+        M_csc = M.tocsc()
+        Y_csc = Y.tocsc()
+        R_csc = R.tocsc() if R is not None else None
+
+        block = max(8, min(2048, _SOLVER_BLOCK_BUDGET // max(N, 1)))
+        W_cols: List[smat.csc_matrix] = []
+        max_nnz = train_params.max_nonzeros_per_label or Db
+        for s in range(0, L, block):
+            e = min(s + block, L)
+            Lb = e - s
+            Yb = np.asarray(Y_csc[:, s:e].todense())
+            Mb = np.asarray(M_csc[:, parents[s:e]].todense())
+            y = np.where(Yb > 0, 1.0, -1.0).astype(np.float32)
+            active = ((Mb != 0) | (Yb > 0)).astype(np.float32)
+            if R_csc is not None:
+                Rb = np.asarray(R_csc[:, s:e].todense(), dtype=np.float32)
+                pos_cost = Rb
+            else:
+                pos_cost = 1.0
+            c = active * np.where(y > 0, train_params.Cp * pos_cost, train_params.Cn).astype(
+                np.float32
+            )
+            Wb = solvers.solve_block(
+                X_dev,
+                jnp.asarray(y),
+                jnp.asarray(c),
+                loss=loss,
+                eps=train_params.newton_eps,
+                max_newton=train_params.max_newton_iter,
+                cg_max=train_params.cg_max_iter,
+            )
+            Wb = np.array(jax.device_get(Wb))  # (Db, Lb) writable copy
+            # prune: threshold + max nonzeros per label (linear_solver.hpp:718-778)
+            Wb[np.abs(Wb) < train_params.threshold] = 0.0
+            if max_nnz < Db:
+                for j in range(Lb):
+                    col = Wb[:, j]
+                    nz = np.nonzero(col)[0]
+                    if len(nz) > max_nnz:
+                        keep = nz[np.argsort(-np.abs(col[nz]))[:max_nnz]]
+                        mask = np.zeros(Db, bool)
+                        mask[keep] = True
+                        col[~mask] = 0.0
+            W_cols.append(smat.csc_matrix(Wb))
+        W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
+        return cls(W=W, C=C, bias=bias, pred_params=pred_params)
+
+    # -- prediction ---------------------------------------------------------------
+    def predict(
+        self,
+        X,
+        csr_codes: Optional[smat.csr_matrix] = None,
+        pred_params: Optional["MLModel.PredParams"] = None,
+        **kwargs,
+    ) -> smat.csr_matrix:
+        if X.shape[1] != self.nr_features:
+            raise ValueError("Feature dimension of query matrix does not match weight matrix")
+        pred_params = self.get_pred_params() if pred_params is None else pred_params
+        pred_params.override_with_kwargs(kwargs)
+        if not pred_params.is_valid():
+            raise ValueError("pred_params is not valid!")
+        return single_layer_predict(
+            self.device_layer,
+            X,
+            self.bias,
+            csr_codes,
+            pred_params.only_topk,
+            pred_params.post_processor,
+        )
+
+    def predict_numpy(
+        self,
+        X,
+        csr_codes: Optional[smat.csr_matrix] = None,
+        only_topk: Optional[int] = None,
+        post_processor: Optional[str] = None,
+    ) -> smat.csr_matrix:
+        """Pure-numpy reference path (dense; test-scale only).
+
+        Serves the same role as the reference's python-vs-C++ consistency
+        anchor (test_xlinear.py:106): an independent implementation the device
+        path must agree with.
+        """
+        only_topk = only_topk if only_topk is not None else self.pred_params.only_topk
+        pp = PostProcessor.get(
+            post_processor if post_processor is not None else self.pred_params.post_processor
+        )
+        Xd = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        if self.bias > 0:
+            Xd = np.hstack([Xd, np.full((Xd.shape[0], 1), self.bias, np.float32)])
+        raw = Xd @ np.asarray(self.W.todense())  # (N, L)
+        val = pp.transform_np(raw)
+        parents = self.C.tocsr().indices  # (L,)
+        if csr_codes is not None:
+            prior = np.asarray(csr_codes.todense())  # (N, K)
+            active = np.asarray(csr_codes.todense() != 0)
+            val = pp.combiner_np(val, prior[:, parents])
+            val = np.where(active[:, parents], val, -np.inf)
+        scores = np.where(np.isfinite(val), val, -np.inf)
+        k = min(only_topk, scores.shape[1])
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        keep = vals > -np.inf
+        idx = np.where(keep, idx, -1)
+        vals = np.where(keep, vals, 0.0)
+        return smat_util.csr_from_topk_arrays(idx, vals, self.nr_labels)
+
+    def get_submodel(self, selected_codes=None, selected_labels=None):
+        raise NotImplementedError("get_submodel arrives with the distributed trainer")
+
+
+class HierarchicalMLModel(pecos_tpu.BaseClass):
+    """Chain of MLModels forming the hierarchical linear model."""
+
+    @dc.dataclass
+    class TrainParams(pecos_tpu.BaseParams):
+        neg_mining_chain: Union[str, Sequence[str]] = "tfn"
+        model_chain: Any = None  # MLModel.TrainParams or tuple per layer
+
+    @dc.dataclass
+    class PredParams(pecos_tpu.BaseParams):
+        model_chain: Any = None  # MLModel.PredParams or tuple per layer
+
+        def override_with_kwargs(self, pred_kwargs):
+            if pred_kwargs is not None and self.model_chain is not None:
+                for p in self.model_chain:
+                    p.override_with_kwargs(pred_kwargs)
+            return self
+
+    def __init__(self, model_chain, pred_params=None, is_predict_only: bool = False):
+        if isinstance(model_chain, MLModel):
+            model_chain = [model_chain]
+        self.model_chain: List[MLModel] = list(model_chain)
+        if pred_params is None:
+            pred_params = self.PredParams(
+                model_chain=tuple(m.get_pred_params() for m in self.model_chain)
+            )
+        self.pred_params = pred_params
+        self.is_predict_only = is_predict_only
+        self._compiled: Optional[CompiledHierModel] = None
+
+    # -- shapes / algebra ----------------------------------------------------------
+    @property
+    def depth(self):
+        return len(self.model_chain)
+
+    @property
+    def nr_labels(self):
+        return self.model_chain[-1].nr_labels
+
+    @property
+    def nr_features(self):
+        return self.model_chain[0].nr_features
+
+    @property
+    def nr_codes(self):
+        return self.model_chain[0].nr_codes
+
+    def __add__(self, other: "HierarchicalMLModel") -> "HierarchicalMLModel":
+        if not isinstance(other, HierarchicalMLModel):
+            raise ValueError("can only add HierarchicalMLModel")
+        if self.model_chain[-1].nr_labels != other.model_chain[0].nr_codes:
+            raise ValueError("chains are not compatible")
+        return HierarchicalMLModel(
+            self.model_chain + other.model_chain,
+            pred_params=self.PredParams(
+                model_chain=tuple(
+                    list(self.pred_params.model_chain) + list(other.pred_params.model_chain)
+                )
+            ),
+        )
+
+    def __getitem__(self, key) -> "HierarchicalMLModel":
+        if isinstance(key, int):
+            key = slice(key, key + 1)
+        return HierarchicalMLModel(
+            self.model_chain[key],
+            pred_params=self.PredParams(model_chain=tuple(self.pred_params.model_chain[key])),
+        )
+
+    def astype(self, dtype):
+        return HierarchicalMLModel(
+            [m.astype(dtype) for m in self.model_chain], self.pred_params, self.is_predict_only
+        )
+
+    def get_pred_params(self):
+        return copy.deepcopy(self.pred_params)
+
+    # -- persistence ----------------------------------------------------------------
+    def save(self, folder: str):
+        if self.is_predict_only:
+            raise Exception("Model is predict only! save not supported!")
+        os.makedirs(folder, exist_ok=True)
+        param = {
+            "model": type(self).__name__,
+            "depth": self.depth,
+            "nr_features": self.nr_features,
+            "nr_codes": self.nr_codes,
+            "nr_labels": self.nr_labels,
+        }
+        param = self.append_meta(param)
+        with open(os.path.join(folder, "param.json"), "w", encoding="utf-8") as f:
+            json.dump(param, f, indent=True)
+        for d in range(self.depth):
+            self.model_chain[d].save(os.path.join(folder, f"{d}.model"))
+
+    @classmethod
+    def load(cls, folder: str, is_predict_only: bool = False, **kwargs) -> "HierarchicalMLModel":
+        with open(os.path.join(folder, "param.json")) as f:
+            param = json.load(f)
+        chain = [MLModel.load(os.path.join(folder, f"{d}.model")) for d in range(param["depth"])]
+        return cls(chain, is_predict_only=is_predict_only)
+
+    # -- params broadcasting (reference xmc/base.py:1175-1199) ----------------------
+    @classmethod
+    def _broadcast_chain_params(cls, params, param_cls, depth: int):
+        """Expand scalar / singleton *_chain fields to tuples of length depth."""
+        if params is None:
+            return param_cls(model_chain=tuple(cls._leaf_params(param_cls)() for _ in range(depth)))
+        if isinstance(params, dict):
+            params = param_cls.from_dict(params)
+        mc = params.model_chain
+        leaf_cls = cls._leaf_params(param_cls)
+        if mc is None:
+            mc = tuple(leaf_cls() for _ in range(depth))
+        elif isinstance(mc, (leaf_cls, dict)):
+            one = leaf_cls.from_dict(mc)
+            mc = tuple(copy.deepcopy(one) for _ in range(depth))
+        else:
+            mc = tuple(leaf_cls.from_dict(p) for p in mc)
+            if len(mc) == 1:
+                mc = tuple(copy.deepcopy(mc[0]) for _ in range(depth))
+            if len(mc) != depth:
+                raise ValueError(f"model_chain length {len(mc)} != depth {depth}")
+        params.model_chain = mc
+        return params
+
+    @staticmethod
+    def _leaf_params(param_cls):
+        return MLModel.TrainParams if param_cls is HierarchicalMLModel.TrainParams else MLModel.PredParams
+
+    # -- training --------------------------------------------------------------------
+    @classmethod
+    def train(
+        cls,
+        prob: MLProblem,
+        clustering: Optional[ClusterChain] = None,
+        train_params: Optional["HierarchicalMLModel.TrainParams"] = None,
+        pred_params: Optional["HierarchicalMLModel.PredParams"] = None,
+        matching_chain=None,
+        relevance_chain=None,
+        **kwargs,
+    ) -> "HierarchicalMLModel":
+        """Level-by-level training with tfn/man/usn negative mining.
+
+        Mirrors reference control flow (pecos/xmc/base.py:1412-1572): roll Y up
+        the chain, build the matching matrix M per layer from the chosen
+        negative-mining schemes, train each layer with MLModel.train.
+        """
+        if clustering is None:
+            C = prob.C if prob.C is not None else smat.csc_matrix(
+                np.ones((prob.nr_labels, 1), np.float32)
+            )
+            clustering = ClusterChain([C])
+        elif not isinstance(clustering, ClusterChain):
+            clustering = ClusterChain(clustering)
+        depth = len(clustering)
+
+        train_params = cls._broadcast_chain_params(train_params, cls.TrainParams, depth)
+        if getattr(train_params, "neg_mining_chain", None) is None:
+            train_params.neg_mining_chain = "tfn"
+        if isinstance(train_params.neg_mining_chain, str):
+            train_params.neg_mining_chain = [train_params.neg_mining_chain] * depth
+        train_params.neg_mining_chain = [s.lower() for s in train_params.neg_mining_chain]
+        if len(train_params.neg_mining_chain) != depth:
+            raise ValueError("neg_mining_chain length mismatch")
+
+        pred_params = cls._broadcast_chain_params(pred_params, cls.PredParams, depth)
+        pred_params.override_with_kwargs(kwargs.get("pred_kwargs", None))
+
+        # Y chain rollup: Y_d = Y_{d+1} @ C_{d+1}
+        Y_chain = [prob.Y.tocsc()]
+        for C in reversed(clustering[1:]):
+            Y_chain.append((Y_chain[-1] @ C).tocsc())
+        Y_chain.reverse()
+
+        if matching_chain is None:
+            matching_chain = [None] * depth
+        if relevance_chain is None:
+            relevance_chain = [None] * depth
+        else:
+            relevance_chain = list(relevance_chain)
+
+        model_chain: List[MLModel] = []
+        M_pred = None
+        cur_X = prob.X
+        for t in range(depth):
+            Y, C = Y_chain[t], clustering[t]
+            R = relevance_chain[t]
+            M_usn = matching_chain[t]
+            scheme = train_params.neg_mining_chain[t]
+            LOGGER.info(f"training layer {t+1}/{depth} (labels={Y.shape[1]}, neg_mining={scheme})")
+            M = None
+            if t == 0:
+                if C.shape[1] > 1:
+                    M = smat.csc_matrix((Y.shape[0], C.shape[1]), dtype=np.float32)
+                    if "usn" in scheme and M_usn is not None:
+                        M = M + smat_util.binarized(M_usn)
+                    if "tfn" in scheme:
+                        M = M + smat_util.binarized((Y @ C).tocsc())
+            else:
+                M = smat.csc_matrix((Y.shape[0], C.shape[1]), dtype=np.float32)
+                if "usn" in scheme and M_usn is not None:
+                    M = M + smat_util.binarized(M_usn)
+                if "tfn" in scheme:
+                    M = M + smat_util.binarized(Y_chain[t - 1].tocsc())
+                if any("man" in s for s in train_params.neg_mining_chain[t:]):
+                    M_pred = model_chain[-1].predict(cur_X, csr_codes=M_pred)
+                if "man" in scheme:
+                    M = M + smat_util.binarized(M_pred)
+            layer_prob = MLProblem(cur_X, Y, C=C, M=M, R=R)
+            model = MLModel.train(
+                layer_prob,
+                train_params=train_params.model_chain[t],
+                pred_params=pred_params.model_chain[t],
+            )
+            model_chain.append(model)
+        return cls(model_chain, pred_params=pred_params, is_predict_only=False)
+
+    # -- prediction -------------------------------------------------------------------
+    def _get_compiled(self) -> CompiledHierModel:
+        if self._compiled is None:
+            self._compiled = CompiledHierModel(
+                [m.device_layer for m in self.model_chain],
+                bias=self.model_chain[0].bias,
+                nr_features=self.nr_features,
+            )
+        return self._compiled
+
+    def predict(
+        self,
+        X,
+        csr_codes: Optional[smat.csr_matrix] = None,
+        pred_params: Optional["HierarchicalMLModel.PredParams"] = None,
+        **kwargs,
+    ) -> smat.csr_matrix:
+        """Whole-chain fused beam search on device (fast path).
+
+        kwargs: beam_size (default 10), only_topk, post_processor override.
+        """
+        beam_size = kwargs.get("beam_size", 10) or 10
+        pred_params = self.get_pred_params() if pred_params is None else pred_params
+        pred_params.override_with_kwargs(kwargs)
+        last = pred_params.model_chain[-1]
+        only_topk = last.only_topk
+        pp_names = tuple(p.post_processor for p in pred_params.model_chain)
+        if csr_codes is not None:
+            # fall back to the per-layer loop when a starting beam is supplied
+            return self._predict_layer_loop(
+                X, csr_codes=csr_codes, pred_params=pred_params, beam_size=beam_size
+            )
+        return self._get_compiled().predict(
+            X, beam_size=beam_size, only_topk=only_topk, post_processor=pp_names
+        )
+
+    def _predict_layer_loop(
+        self,
+        X,
+        csr_codes: Optional[smat.csr_matrix] = None,
+        pred_params: Optional["HierarchicalMLModel.PredParams"] = None,
+        beam_size: int = 10,
+    ) -> smat.csr_matrix:
+        """Layer-by-layer predict through MLModel.predict (consistency path)."""
+        pred_params = self.get_pred_params() if pred_params is None else pred_params
+        pred = csr_codes
+        for d, model in enumerate(self.model_chain):
+            p = copy.deepcopy(pred_params.model_chain[d])
+            if d != self.depth - 1:
+                p.only_topk = beam_size
+            pred = model.predict(X, csr_codes=pred, pred_params=p)
+        return pred

@@ -1,0 +1,356 @@
+"""TPU beam-search inference engine for hierarchical linear models.
+
+This replaces the reference's C++ chunked-matrix beam search
+(pecos/core/xmc/inference.hpp:927-1219, :2447-2488) with a static-shape JAX
+formulation:
+
+- The cluster chain's child lists become a padded children table
+  ``(n_parents, max_children)`` (tree expansion = one gather).
+- Layer weights live in one of two device layouts:
+
+  * ``dense``  — W as a dense (D+1, L) matrix; scoring a layer is one MXU
+    matmul + gather.  Right choice for the small upper layers of the tree.
+  * ``plabel`` — padded label rows: each label's pruned sparse weight vector
+    stored as (feat_ids, feat_vals) padded to a static capacity.  Scoring
+    gathers only the beam's candidate labels, the TPU analog of the
+    reference's per-cluster chunked CSC (inference.hpp:244-520).
+
+- One beam step = expand children, score candidates, transform + combine with
+  parent path value (PostProcessor semantics, layer 0 skips the combine just
+  like ``no_prev_pred`` in inference.hpp:2102-2120), masked top-k.
+
+All shapes are static under jit; queries are processed in fixed-size batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as smat
+
+from pecos_tpu.utils import smat_util
+from pecos_tpu.utils.cluster_util import ClusterChain
+from .postprocessor import PostProcessor
+
+NEG_INF = -1e30
+# layers whose dense W would exceed this many elements use the plabel layout
+DENSE_LAYOUT_MAX_ELEMENTS = 1 << 24
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceLayer:
+    """One model layer resident on device."""
+
+    kind: str  # "dense" | "plabel" (static)
+    nr_labels: int  # static
+    children: jax.Array  # (n_parents, max_children) int32, -1 padded
+    W: Optional[jax.Array] = None  # dense: (D+1, L)
+    feat_ids: Optional[jax.Array] = None  # plabel: (L, P) int32 (0 where padded)
+    feat_vals: Optional[jax.Array] = None  # plabel: (L, P) f32 (0 where padded)
+
+    def tree_flatten(self):
+        leaves = (self.children, self.W, self.feat_ids, self.feat_vals)
+        return leaves, (self.kind, self.nr_labels)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        children, W, feat_ids, feat_vals = leaves
+        return cls(aux[0], aux[1], children, W, feat_ids, feat_vals)
+
+    @property
+    def max_children(self) -> int:
+        return self.children.shape[1]
+
+
+def build_device_layer(
+    W: smat.spmatrix,
+    C: smat.spmatrix,
+    *,
+    layout: Optional[str] = None,
+    weight_dtype=jnp.float32,
+) -> DeviceLayer:
+    """Build the device layout for one layer from host CSC W (D+1, L), C (L, K)."""
+    W = W.tocsc()
+    C = C.tocsc()
+    n_feat_b, L = W.shape
+    # children table from C: (K, maxc)
+    chain = ClusterChain.__new__(ClusterChain)
+    chain.chain = [C]
+    children, _ = chain.padded_children(0)
+    if layout is None:
+        layout = "dense" if n_feat_b * L <= DENSE_LAYOUT_MAX_ELEMENTS else "plabel"
+    if layout == "dense":
+        Wd = jnp.asarray(np.asarray(W.todense(), dtype=np.float32), dtype=weight_dtype)
+        return DeviceLayer("dense", L, jnp.asarray(children), W=Wd)
+    elif layout == "plabel":
+        Wc = W.tocsc()
+        nnz = np.diff(Wc.indptr)
+        cap = max(8, int(-(-int(nnz.max() if L else 0) // 8) * 8))
+        ids = np.zeros((L, cap), dtype=np.int32)
+        vals = np.zeros((L, cap), dtype=np.float32)
+        for l in range(L):
+            s, e = Wc.indptr[l], Wc.indptr[l + 1]
+            ids[l, : e - s] = Wc.indices[s:e]
+            vals[l, : e - s] = Wc.data[s:e]
+        return DeviceLayer(
+            "plabel",
+            L,
+            jnp.asarray(children),
+            feat_ids=jnp.asarray(ids),
+            feat_vals=jnp.asarray(vals, dtype=weight_dtype),
+        )
+    raise ValueError(f"unknown layout {layout!r}")
+
+
+def prepare_queries(X, bias: float, batch: Optional[int] = None) -> np.ndarray:
+    """Dense (N, D+1) query block with bias column appended (matches the
+    reference appending param.bias to each instance, linear_solver.hpp:47)."""
+    if smat.issparse(X):
+        Xd = np.asarray(X.todense(), dtype=np.float32)
+    else:
+        Xd = np.asarray(X, dtype=np.float32)
+    if bias > 0:
+        Xd = np.hstack([Xd, np.full((Xd.shape[0], 1), bias, dtype=np.float32)])
+    return Xd
+
+
+def score_candidates(X: jax.Array, layer: DeviceLayer, cand: jax.Array) -> jax.Array:
+    """Raw scores x . w_l for candidate labels. X (N, D+1), cand (N, K) -> (N, K)."""
+    if layer.kind == "dense":
+        scores_all = jnp.dot(X, layer.W, preferred_element_type=jnp.float32)
+        return jnp.take_along_axis(scores_all, cand, axis=1)
+    else:
+        ids = layer.feat_ids[cand]  # (N, K, P)
+        vals = layer.feat_vals[cand]  # (N, K, P)
+        xg = jnp.take_along_axis(X[:, None, :], ids, axis=2)  # (N, K, P)
+        return jnp.sum(xg * vals.astype(jnp.float32), axis=-1)
+
+
+def beam_step(
+    X: jax.Array,
+    layer: DeviceLayer,
+    parents: jax.Array,  # (N, B) int32 node ids at previous level (-1 invalid)
+    pvals: jax.Array,  # (N, B) float32 combined path values
+    k: int,
+    pp: PostProcessor,
+    no_prev: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Expand parents through one layer; returns (labels (N,k), values (N,k))."""
+    N, B = parents.shape
+    maxc = layer.max_children
+    safe_parents = jnp.clip(parents, 0, layer.children.shape[0] - 1)
+    cand = layer.children[safe_parents].reshape(N, B * maxc)  # (N, B*maxc)
+    valid = (cand >= 0) & (parents >= 0).repeat(maxc, axis=1)
+    cand_safe = jnp.clip(cand, 0, layer.nr_labels - 1)
+    raw = score_candidates(X, layer, cand_safe)
+    val = pp.transform_jnp(raw)
+    if not no_prev:
+        val = pp.combiner_jnp(val, pvals.repeat(maxc, axis=1))
+    val = jnp.where(valid, val, NEG_INF)
+    k = min(k, B * maxc)
+    topv, topi = jax.lax.top_k(val, k)
+    labels = jnp.take_along_axis(cand, topi, axis=1)
+    labels = jnp.where(topv > NEG_INF * 0.5, labels, -1)
+    return labels, topv
+
+
+def chain_predict(
+    X: jax.Array,
+    layers: Sequence[DeviceLayer],
+    beam_size: int,
+    only_topk: int,
+    pp_names: Tuple[str, ...],
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-chain beam search.  Returns (labels (N, k), values (N, k))."""
+    N = X.shape[0]
+    depth = len(layers)
+    # initial beam: every root-level cluster is active (one for a full chain,
+    # K for a ranker-mode chain whose top C has K columns)
+    n_roots = layers[0].children.shape[0]
+    parents = jnp.tile(jnp.arange(n_roots, dtype=jnp.int32), (N, 1))
+    pvals = jnp.full((N, n_roots), PostProcessor.get(pp_names[0]).init_value, jnp.float32)
+    for d, layer in enumerate(layers):
+        pp = PostProcessor.get(pp_names[d])
+        k = only_topk if d == depth - 1 else beam_size
+        parents, pvals = beam_step(X, layer, parents, pvals, k, pp, no_prev=(d == 0))
+    return parents, pvals
+
+
+class CompiledHierModel:
+    """Device-resident hierarchical model + cached jitted predictors.
+
+    The jitted beam-search closure is specialized on (depth, layouts,
+    post-processors, beam, topk, batch); query batches are padded to a fixed
+    size so one compilation serves any query count.
+    """
+
+    def __init__(self, layers: List[DeviceLayer], bias: float, nr_features: int):
+        self.layers = layers
+        self.bias = bias
+        self.nr_features = nr_features
+        self._cache = {}
+
+    @classmethod
+    def from_host_chain(
+        cls,
+        Ws: Sequence[smat.spmatrix],
+        Cs: Sequence[smat.spmatrix],
+        bias: float,
+        *,
+        layouts: Optional[Sequence[Optional[str]]] = None,
+        weight_dtype=jnp.float32,
+    ) -> "CompiledHierModel":
+        layers = []
+        for d, (W, C) in enumerate(zip(Ws, Cs)):
+            layout = layouts[d] if layouts is not None else None
+            layers.append(build_device_layer(W, C, layout=layout, weight_dtype=weight_dtype))
+        nr_features = Ws[0].shape[0] - (1 if bias > 0 else 0)
+        return cls(layers, bias, nr_features)
+
+    @property
+    def nr_labels(self) -> int:
+        return self.layers[-1].nr_labels
+
+    @property
+    def depth(self) -> int:
+        return len(self.layers)
+
+    def _predictor(self, beam_size: int, only_topk: int, pp_names: Tuple[str, ...], batch: int):
+        key = (beam_size, only_topk, pp_names, batch)
+        if key not in self._cache:
+
+            @jax.jit
+            def fn(X, layers):
+                return chain_predict(X, layers, beam_size, only_topk, pp_names)
+
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def predict(
+        self,
+        X,
+        *,
+        beam_size: int = 10,
+        only_topk: int = 20,
+        post_processor="l3-hinge",
+        batch_size: int = 1024,
+    ) -> smat.csr_matrix:
+        """Host-facing predict: any X (sparse/dense) -> sorted top-k CSR.
+
+        ``post_processor`` may be a single name (applied to every layer, like
+        the C++ override) or a tuple of per-layer names.
+        """
+        if X.shape[1] != self.nr_features:
+            raise ValueError(
+                f"Feature dimension of query matrix ({X.shape[1]}) does not match "
+                f"weight matrix ({self.nr_features})"
+            )
+        if isinstance(post_processor, str):
+            pp_names = tuple([post_processor] * self.depth)
+        else:
+            pp_names = tuple(post_processor)
+        for name in pp_names:
+            PostProcessor.get(name)  # validate early with a clear error
+        Xd = prepare_queries(X, self.bias)
+        N = Xd.shape[0]
+        batch = min(batch_size, max(1, 1 << (N - 1).bit_length()))
+        fn = self._predictor(beam_size, only_topk, pp_names, batch)
+        out_idx, out_val = [], []
+        for s in range(0, N, batch):
+            xb = Xd[s : s + batch]
+            pad = batch - xb.shape[0]
+            if pad:
+                xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
+            labels, vals = fn(jnp.asarray(xb), self.layers)
+            labels = np.asarray(jax.device_get(labels))
+            vals = np.asarray(jax.device_get(vals))
+            if pad:
+                labels, vals = labels[:-pad], vals[:-pad]
+            out_idx.append(labels)
+            out_val.append(vals)
+        labels = np.concatenate(out_idx) if out_idx else np.zeros((0, only_topk), np.int64)
+        vals = np.concatenate(out_val) if out_val else np.zeros((0, only_topk), np.float32)
+        return smat_util.csr_from_topk_arrays(labels, vals, self.nr_labels)
+
+
+# ---------------------------------------------------------------------------
+# single-layer predict (MLModel.predict / csr_codes path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pp_name", "no_prev"))
+def _single_layer_jit(X, layer, parents, pvals, *, k, pp_name, no_prev):
+    pp = PostProcessor.get(pp_name)
+    return beam_step(X, layer, parents, pvals, k, pp, no_prev)
+
+
+def single_layer_predict(
+    layer: DeviceLayer,
+    X,
+    bias: float,
+    csr_codes: Optional[smat.csr_matrix],
+    only_topk: int,
+    post_processor: str,
+    batch_size: int = 1024,
+) -> smat.csr_matrix:
+    """One-layer predict with optional previous-layer beam (csr_codes).
+
+    Mirrors clib.xlinear_single_layer_predict: candidates are children of the
+    active clusters in csr_codes (all clusters if None); values combine with
+    the csr_codes values unless csr_codes is None.
+    """
+    Xd = prepare_queries(X, bias)
+    N = Xd.shape[0]
+    n_parents = layer.children.shape[0]
+    if csr_codes is None:
+        parents_np = np.tile(np.arange(n_parents, dtype=np.int32), (N, 1))
+        pvals_np = np.full((N, n_parents), PostProcessor.get(post_processor).init_value, np.float32)
+        no_prev = True
+    else:
+        codes = csr_codes.tocsr()
+        max_b = max(int(np.diff(codes.indptr).max()), 1) if N else 1
+        # bucket the beam width to limit recompiles
+        max_b = 1 << (max_b - 1).bit_length()
+        parents_np = np.full((N, max_b), -1, dtype=np.int32)
+        pvals_np = np.zeros((N, max_b), dtype=np.float32)
+        for i in range(N):
+            s, e = codes.indptr[i], codes.indptr[i + 1]
+            parents_np[i, : e - s] = codes.indices[s:e]
+            pvals_np[i, : e - s] = codes.data[s:e]
+        no_prev = False
+    k = min(only_topk, parents_np.shape[1] * layer.max_children)
+    out_idx, out_val = [], []
+    batch = min(batch_size, max(1, 1 << (N - 1).bit_length())) if N else 1
+    for s in range(0, N, batch):
+        xb = Xd[s : s + batch]
+        pb = parents_np[s : s + batch]
+        vb = pvals_np[s : s + batch]
+        pad = batch - xb.shape[0]
+        if pad:
+            xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
+            pb = np.vstack([pb, np.full((pad, pb.shape[1]), -1, np.int32)])
+            vb = np.vstack([vb, np.zeros((pad, vb.shape[1]), np.float32)])
+        labels, vals = _single_layer_jit(
+            jnp.asarray(xb),
+            layer,
+            jnp.asarray(pb),
+            jnp.asarray(vb),
+            k=k,
+            pp_name=post_processor,
+            no_prev=no_prev,
+        )
+        labels = np.asarray(jax.device_get(labels))
+        vals = np.asarray(jax.device_get(vals))
+        if pad:
+            labels, vals = labels[:-pad], vals[:-pad]
+        out_idx.append(labels)
+        out_val.append(vals)
+    labels = np.concatenate(out_idx) if out_idx else np.zeros((0, k), np.int64)
+    vals = np.concatenate(out_val) if out_val else np.zeros((0, k), np.float32)
+    return smat_util.csr_from_topk_arrays(labels, vals, layer.nr_labels)

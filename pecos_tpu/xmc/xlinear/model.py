@@ -1,0 +1,217 @@
+"""XLinearModel: user-facing facade over HierarchicalMLModel.
+
+API parity with the reference (pecos/xmc/xlinear/model.py:24-550): train
+modes full-model / matcher / ranker, relevance modes disable / induce /
+ranker-only, directory save layout ``param.json`` + ``ranker/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses as dc
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as smat
+
+import pecos_tpu
+from pecos_tpu.utils import smat_util
+from pecos_tpu.utils.cluster_util import ClusterChain
+from pecos_tpu.xmc import HierarchicalMLModel, MLModel, MLProblem
+
+
+class XLinearModel(pecos_tpu.BaseClass):
+    """Hierarchical linear model for extreme multi-label classification."""
+
+    @dc.dataclass
+    class TrainParams(pecos_tpu.BaseParams):
+        mode: str = "full-model"
+        ranker_level: int = 1
+        nr_splits: int = 16
+        min_codes: Optional[int] = None
+        shallow: bool = False
+        rel_mode: str = "disable"
+        rel_norm: str = "no-norm"
+        hlm_args: Optional[HierarchicalMLModel.TrainParams] = None
+
+    @dc.dataclass
+    class PredParams(pecos_tpu.BaseParams):
+        hlm_args: Optional[HierarchicalMLModel.PredParams] = None
+
+        def override_with_kwargs(self, pred_kwargs):
+            if self.hlm_args is not None:
+                self.hlm_args.override_with_kwargs(pred_kwargs)
+            return self
+
+    def __init__(self, model: Optional[HierarchicalMLModel] = None):
+        self.model = model
+
+    @property
+    def nr_labels(self):
+        return self.model.nr_labels
+
+    # -- persistence ---------------------------------------------------------------
+    def save(self, model_folder: str):
+        os.makedirs(model_folder, exist_ok=True)
+        param = self.append_meta({})
+        with open(os.path.join(model_folder, "param.json"), "w", encoding="utf-8") as f:
+            f.write(json.dumps(param, indent=True))
+        self.model.save(os.path.join(model_folder, "ranker"))
+
+    @classmethod
+    def load(cls, model_folder: str, is_predict_only: bool = False, **kwargs) -> "XLinearModel":
+        model = HierarchicalMLModel.load(
+            os.path.join(model_folder, "ranker"), is_predict_only, **kwargs
+        )
+        return cls(model)
+
+    @staticmethod
+    def load_feature_matrix(path: str, dtype=np.float32):
+        return smat_util.load_feature_matrix(path, dtype=dtype)
+
+    @staticmethod
+    def load_label_matrix(path: str, dtype=np.float32):
+        return smat_util.load_label_matrix(path, dtype=dtype)
+
+    # -- training ------------------------------------------------------------------
+    @classmethod
+    def train(
+        cls,
+        X,
+        Y,
+        C=None,
+        R=None,
+        user_supplied_negatives=None,
+        train_params: Optional["XLinearModel.TrainParams"] = None,
+        pred_params: Optional["XLinearModel.PredParams"] = None,
+        **kwargs,
+    ) -> "XLinearModel":
+        """Train modes (reference xlinear/model.py:39-68):
+        full-model: whole chain; matcher: top (D - ranker_level) layers on
+        rolled-up Y; ranker: bottom ranker_level layers.
+        """
+        if train_params is None:
+            train_params = cls.TrainParams.from_dict(
+                {k: v for k, v in kwargs.items() if k in {f.name for f in dc.fields(cls.TrainParams)}}
+            )
+            train_params.hlm_args = HierarchicalMLModel.TrainParams(
+                neg_mining_chain=kwargs.get("negative_sampling_scheme", "tfn"),
+                model_chain=MLModel.TrainParams.from_dict(
+                    {k: v for k, v in kwargs.items() if k in {f.name for f in dc.fields(MLModel.TrainParams)}}
+                ),
+            )
+        else:
+            train_params = cls.TrainParams.from_dict(train_params)
+        if pred_params is None:
+            pred_params = cls.PredParams(
+                hlm_args=HierarchicalMLModel.PredParams(model_chain=MLModel.PredParams())
+            )
+        else:
+            pred_params = cls.PredParams.from_dict(pred_params)
+        if kwargs.get("pred_kwargs", None) is None:
+            kwargs["pred_kwargs"] = {
+                kw: kwargs.get(kw, None) for kw in ("beam_size", "only_topk", "post_processor")
+            }
+        if not train_params.min_codes:
+            train_params.min_codes = train_params.nr_splits
+
+        if C is None or (isinstance(C, (list, tuple)) and len(C) == 0):
+            clustering = None
+            matching_chain = None
+            relevance_chain = None
+        else:
+            if train_params.shallow:
+                clustering = ClusterChain.from_partial_chain(C, min_codes=None)
+            else:
+                clustering = ClusterChain.from_partial_chain(
+                    C, min_codes=train_params.min_codes, nr_splits=train_params.nr_splits
+                )
+            matching_chain = clustering.generate_matching_chain(user_supplied_negatives)
+            if train_params.rel_mode == "disable":
+                relevance_chain = [None] * len(clustering)
+            elif train_params.rel_mode == "induce":
+                relevance_chain = clustering.generate_relevance_chain(
+                    {0: R if R is not None else smat_util.binarized(Y)},
+                    norm_type=train_params.rel_norm,
+                    induce=True,
+                )
+            elif train_params.rel_mode == "ranker-only":
+                relevance_chain = clustering.generate_relevance_chain(
+                    {0: R}, norm_type=train_params.rel_norm, induce=False
+                )
+            else:
+                raise ValueError(f"Wrong value for rel_mode: {train_params.rel_mode}")
+
+        if train_params.mode == "full-model":
+            pass
+        elif train_params.mode == "matcher":
+            if clustering is None:
+                raise ValueError("Expect non-trivial clustering for matcher mode")
+            for cc in reversed(clustering[-train_params.ranker_level :]):
+                Y = (Y @ cc).tocsc()
+            clustering = ClusterChain(clustering[: -train_params.ranker_level])
+            matching_chain = matching_chain[: -train_params.ranker_level]
+            relevance_chain = relevance_chain[: -train_params.ranker_level]
+        elif train_params.mode == "ranker":
+            if clustering is None:
+                raise ValueError("Expect non-trivial clustering for ranker mode")
+            clustering = ClusterChain(clustering[-train_params.ranker_level :])
+            matching_chain = matching_chain[-train_params.ranker_level :]
+            relevance_chain = relevance_chain[-train_params.ranker_level :]
+        else:
+            raise ValueError(f"Wrong value for the mode attribute: {train_params.mode}")
+
+        prob = MLProblem(X, Y, R=R if C is None else None)
+        model = HierarchicalMLModel.train(
+            prob,
+            clustering=clustering,
+            relevance_chain=relevance_chain,
+            matching_chain=matching_chain,
+            train_params=train_params.hlm_args,
+            pred_params=pred_params.hlm_args,
+            **kwargs,
+        )
+        return cls(model)
+
+    # -- prediction ----------------------------------------------------------------
+    def predict(self, X, pred_params=None, **kwargs) -> smat.csr_matrix:
+        """Beam-search predict; kwargs: beam_size, only_topk, post_processor."""
+        return self.model.predict(
+            X,
+            csr_codes=kwargs.pop("csr_codes", None),
+            pred_params=pred_params.hlm_args if pred_params is not None else None,
+            **kwargs,
+        )
+
+    def get_pred_params(self) -> "XLinearModel.PredParams":
+        return self.PredParams(hlm_args=self.model.get_pred_params())
+
+    # -- model surgery --------------------------------------------------------------
+    @classmethod
+    def reconstruct_model(cls, meta_model: "XLinearModel", sub_models) -> "XLinearModel":
+        """Merge a meta (upper-tree) model with per-subtree child models into one
+        chain (used by the distributed trainer; reference xlinear/model.py:356)."""
+        from pecos_tpu.xmc.base import HierarchicalMLModel as HLM
+
+        meta = meta_model.model if isinstance(meta_model, XLinearModel) else meta_model
+        subs = [m.model if isinstance(m, XLinearModel) else m for m in sub_models]
+        depth_sub = subs[0].depth
+        if any(s.depth != depth_sub for s in subs):
+            raise ValueError("all sub models must share depth")
+        # stack layer d of every sub model block-diagonally, ordered by subtree id
+        new_chain = list(meta.model_chain)
+        for d in range(depth_sub):
+            Ws = [s.model_chain[d].W for s in subs]
+            Cs = [s.model_chain[d].C for s in subs]
+            W = smat_util.hstack_csc(Ws)
+            C = smat_util.block_diag_csc(Cs)
+            new_chain.append(
+                MLModel(
+                    W=W,
+                    C=C,
+                    bias=subs[0].model_chain[d].bias,
+                    pred_params=subs[0].model_chain[d].get_pred_params(),
+                )
+            )
+        return cls(HLM(new_chain))

@@ -1,0 +1,102 @@
+"""Hierarchical k-means property tests.
+
+Mirrors the reference's balance/shape assertions
+(test/pecos/xmc/test_xmc.py:56-107): strict +-1 balance at every tree level
+and correct chain shapes for variable depth / nr_splits.
+"""
+
+import numpy as np
+import scipy.sparse as smat
+
+from pecos_tpu.utils.cluster_util import ClusterChain
+from pecos_tpu.xmc import HierarchicalKMeans, Indexer, LabelEmbeddingFactory
+from pecos_tpu.xmc.clustering import hierarchical_balanced_kmeans
+
+
+def _feats(L, D, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((L, D)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return X
+
+
+def test_binary_codes_balance():
+    L, depth = 100, 3
+    codes = hierarchical_balanced_kmeans(_feats(L, 16), depth, max_iter=10, seed=0)
+    assert codes.shape == (L,)
+    assert codes.min() >= 0 and codes.max() < 2**depth
+    counts = np.bincount(codes, minlength=2**depth)
+    assert counts.max() - counts.min() <= 1
+
+
+def test_balance_every_level():
+    L = 37  # odd, prime-ish
+    depth = 4
+    codes = hierarchical_balanced_kmeans(_feats(L, 8, seed=1), depth, max_iter=5, seed=1)
+    for d in range(1, depth + 1):
+        level_codes = codes >> (depth - d)
+        counts = np.bincount(level_codes, minlength=2**d)
+        assert counts.max() - counts.min() <= 1, f"imbalance at level {d}: {counts}"
+
+
+def test_hierarchicalkmeans_gen_chain_shapes():
+    L = 260
+    chain = HierarchicalKMeans.gen(_feats(L, 12, seed=2), max_leaf_size=10, nr_splits=4)
+    assert isinstance(chain, ClusterChain)
+    assert chain[-1].shape[0] == L
+    assert chain[0].shape[1] == 1
+    for d in range(1, len(chain)):
+        assert chain[d].shape[1] == chain[d - 1].shape[0]
+    # every node has exactly one parent
+    for C in chain:
+        assert (np.diff(C.tocsr().indptr) == 1).all()
+
+
+def test_small_label_set_single_cluster():
+    chain = HierarchicalKMeans.gen(_feats(7, 4), max_leaf_size=100)
+    assert len(chain) == 1
+    assert chain[0].shape == (7, 1)
+
+
+def test_indexer_dispatch():
+    chain = Indexer.gen(_feats(64, 8), indexer_type="hierarchicalkmeans", max_leaf_size=8)
+    assert chain.nr_labels == 64
+
+
+def test_clusters_capture_structure():
+    # two well-separated blobs must end up in different top-level clusters
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=+5, scale=0.1, size=(32, 6)).astype(np.float32)
+    b = rng.normal(loc=-5, scale=0.1, size=(32, 6)).astype(np.float32)
+    feats = np.vstack([a, b])
+    codes = hierarchical_balanced_kmeans(feats, 1, max_iter=10, seed=0, spherical=False)
+    assert len(set(codes[:32])) == 1
+    assert len(set(codes[32:])) == 1
+    assert codes[0] != codes[-1]
+
+
+def test_pifa_embeddings():
+    rng = np.random.default_rng(0)
+    X = smat.random(50, 20, density=0.3, random_state=rng, format="csr", dtype=np.float32)
+    Y = smat.random(50, 12, density=0.2, random_state=rng, format="csr", dtype=np.float32)
+    emb = LabelEmbeddingFactory.create(Y, X, method="pifa")
+    assert emb.shape == (12, 20)
+    norms = np.sqrt(np.asarray(emb.multiply(emb).sum(axis=1)).ravel())
+    nz = norms > 0
+    np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)
+
+    pii = LabelEmbeddingFactory.create(Y, method="pii")
+    assert pii.shape == (12, 50)
+
+
+def test_padded_children_table():
+    C = smat.csc_matrix(
+        (np.ones(6, np.float32), (np.arange(6), np.array([0, 0, 0, 1, 1, 2]))), shape=(6, 3)
+    )
+    chain = ClusterChain([C])
+    table, maxc = chain.padded_children(len(chain.chain) - 1)
+    assert maxc == 3
+    assert table.shape == (3, 3)
+    assert table[0].tolist() == [0, 1, 2]
+    assert table[1].tolist() == [3, 4, -1]
+    assert table[2].tolist() == [5, -1, -1]

@@ -1,0 +1,131 @@
+"""End-to-end XR-Linear tests: train -> beam-search predict -> metrics.
+
+Follows the reference's consistency idiom (test_xlinear.py:106): the fused
+device chain predictor must agree with the independent per-layer loop, for
+every post-processor; plus golden-quality checks on synthetic separable data.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as smat
+
+from pecos_tpu.utils import smat_util
+from pecos_tpu.utils.cluster_util import ClusterChain
+from pecos_tpu.xmc import HierarchicalMLModel, Indexer, LabelEmbeddingFactory, MLProblem
+from pecos_tpu.xmc.xlinear import XLinearModel
+
+
+def _synthetic_xmc(n=240, d=16, L=32, seed=0):
+    """Separable multi-label data: each label is a Gaussian blob direction."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((L, d)).astype(np.float32) * 3
+    X = np.zeros((n, d), np.float32)
+    rows, cols = [], []
+    for i in range(n):
+        l = i % L
+        X[i] = centers[l] + rng.standard_normal(d).astype(np.float32) * 0.25
+        rows.append(i)
+        cols.append(l)
+        # occasionally add a second label
+        if i % 7 == 0:
+            l2 = (l + 1) % L
+            rows.append(i)
+            cols.append(l2)
+    Y = smat.csr_matrix((np.ones(len(rows), np.float32), (rows, cols)), shape=(n, L))
+    return smat.csr_matrix(X), Y
+
+
+@pytest.fixture(scope="module")
+def trained():
+    X, Y = _synthetic_xmc()
+    label_feat = LabelEmbeddingFactory.create(Y, X, method="pifa")
+    chain = Indexer.gen(label_feat, max_leaf_size=4, nr_splits=2, seed=7)
+    xlm = XLinearModel.train(X, Y, C=chain, threshold=0.0)
+    return X, Y, xlm
+
+
+def test_end_to_end_precision(trained):
+    X, Y, xlm = trained
+    P = xlm.predict(X, beam_size=8, only_topk=5)
+    m = smat_util.Metrics.generate(Y, P, topk=5)
+    assert m.prec[0] > 0.9, f"P@1 = {m.prec[0]}"
+
+
+def test_chain_vs_layer_loop_consistency(trained):
+    X, Y, xlm = trained
+    for pp in ["l3-hinge", "sigmoid", "log-l3-hinge", "noop"]:
+        fused = xlm.predict(X, beam_size=6, only_topk=4, post_processor=pp)
+        loop = xlm.model._predict_layer_loop(X, beam_size=6)
+        # loop uses per-layer defaults; re-run with uniform override for comparison
+        pp_params = xlm.model.get_pred_params()
+        for p in pp_params.model_chain:
+            p.post_processor = pp
+            p.only_topk = 4
+        loop = xlm.model._predict_layer_loop(X, pred_params=pp_params, beam_size=6)
+        fd = np.asarray(fused.todense())
+        ld = np.asarray(loop.todense())
+        np.testing.assert_allclose(fd, ld, rtol=2e-4, atol=2e-5, err_msg=f"pp={pp}")
+
+
+def test_beam_size_one_is_greedy(trained):
+    X, Y, xlm = trained
+    P = xlm.predict(X, beam_size=1, only_topk=1)
+    assert P.nnz == X.shape[0]
+
+
+def test_save_load_predict_identical(tmp_path, trained):
+    X, Y, xlm = trained
+    folder = str(tmp_path / "xlm")
+    xlm.save(folder)
+    loaded = XLinearModel.load(folder)
+    P1 = xlm.predict(X, beam_size=4, only_topk=3)
+    P2 = loaded.predict(X, beam_size=4, only_topk=3)
+    assert (P1 != P2).nnz == 0
+
+
+def test_matcher_ranker_modes():
+    X, Y = _synthetic_xmc(n=120, d=12, L=16, seed=3)
+    label_feat = LabelEmbeddingFactory.create(Y, X, method="pifa")
+    chain = Indexer.gen(label_feat, max_leaf_size=2, nr_splits=2, seed=1)
+    depth = len(chain)
+    matcher = XLinearModel.train(X, Y, C=chain, mode="matcher", ranker_level=1, threshold=0.0)
+    assert matcher.model.depth == depth - 1
+    assert matcher.nr_labels == chain[-2].shape[0]
+    ranker = XLinearModel.train(X, Y, C=chain, mode="ranker", ranker_level=1, threshold=0.0)
+    assert ranker.model.depth == 1
+    assert ranker.nr_labels == Y.shape[1]
+
+
+def test_ova_single_layer():
+    X, Y = _synthetic_xmc(n=80, d=10, L=8, seed=4)
+    xlm = XLinearModel.train(X, Y, C=None, threshold=0.0)
+    assert xlm.model.depth == 1
+    P = xlm.predict(X, only_topk=1)
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    # rows with two labels: accept either
+    pred = np.asarray(P.argmax(axis=1)).ravel()
+    acc = np.mean([Y[i, pred[i]] > 0 for i in range(X.shape[0])])
+    assert acc > 0.9
+
+
+def test_rel_mode_induce_runs():
+    X, Y = _synthetic_xmc(n=60, d=8, L=8, seed=5)
+    chain = Indexer.gen(
+        LabelEmbeddingFactory.create(Y, X, method="pifa"), max_leaf_size=2, nr_splits=2
+    )
+    xlm = XLinearModel.train(X, Y, C=chain, rel_mode="induce", rel_norm="l1", threshold=0.0)
+    P = xlm.predict(X, only_topk=3)
+    assert P.shape == (X.shape[0], Y.shape[1])
+
+
+def test_hierarchical_add_getitem(trained):
+    X, Y, xlm = trained
+    hm = xlm.model
+    if hm.depth >= 2:
+        top = hm[: hm.depth - 1]
+        bot = hm[hm.depth - 1 :]
+        combo = top + bot
+        assert combo.depth == hm.depth
+        P1 = hm.predict(X, beam_size=4)
+        P2 = combo.predict(X, beam_size=4)
+        assert (P1 != P2).nnz == 0
