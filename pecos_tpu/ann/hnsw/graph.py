@@ -1,0 +1,210 @@
+"""HNSW as padded fixed-degree arrays + batched best-first search on device.
+
+The reference stores L0 as a fixed-degree flat neighbor array with inlined
+features (pecos/core/ann/hnsw.hpp:93-178) — already the right shape for TPU.
+What changes is the execution model:
+
+- search: instead of one Searcher (visited-set + two heaps) per OMP thread
+  (hnsw.hpp:342-446, libpecos.cpp:526-553), a whole query batch walks the
+  graph in lockstep.  The beam (ef best-so-far) is a sorted array carried
+  through `jax.lax.while_loop`; each step expands the best unexpanded node,
+  gathers its padded neighbor list, computes distances with one batched
+  matmul, masks duplicates by comparing ids against the beam, and re-sorts.
+  Termination matches best-first semantics: stop when the best unexpanded
+  candidate is farther than the worst beam entry (classic HNSW stopping rule).
+
+- build: instead of per-node mutexes (hnsw.hpp:597-672), points are inserted
+  in deterministic batches: search the frozen graph for each batch point's
+  neighbors (batched on device), apply the select-neighbors heuristic
+  (Alg. 4, hnsw.hpp:555-592), then connect + prune reverse edges on the host.
+  This is the batch-consistent analog of the reference's lock-consistent
+  parallel insertion (whose graphs are already thread-timing dependent);
+  recall-vs-QPS parity is the target, not graph equality
+  (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD = jnp.int32(-1)
+INF = jnp.float32(3.4e38)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceGraph:
+    """One level of the graph + features, device resident."""
+
+    feats: jax.Array  # (N, D) float32 — row-padded node features
+    neighbors: jax.Array  # (N, M) int32, -1 padded
+    metric: str  # "l2" | "ip" (static)
+
+    def tree_flatten(self):
+        return (self.feats, self.neighbors), (self.metric,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], aux[0])
+
+
+def pairwise_dist(Q: jax.Array, X: jax.Array, metric: str) -> jax.Array:
+    """(B, D) x (K, D) -> (B, K) distances (smaller = closer).
+
+    l2: squared L2 (monotone in true L2); ip: 1 - <q, x> like the reference's
+    inner-product "distance" (feat_vectors.hpp FeatVecDenseIPSimd).
+    """
+    dots = jnp.dot(Q, X.T, preferred_element_type=jnp.float32)
+    if metric == "ip":
+        return 1.0 - dots
+    qq = jnp.sum(Q * Q, axis=1, keepdims=True)
+    xx = jnp.sum(X * X, axis=1)[None, :]
+    return qq + xx - 2.0 * dots
+
+
+def gather_dist(Q: jax.Array, feats: jax.Array, ids: jax.Array, metric: str) -> jax.Array:
+    """Per-query gathered distances: Q (B, D), ids (B, K) -> (B, K)."""
+    F = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]  # (B, K, D)
+    dots = jnp.einsum("bkd,bd->bk", F, Q, preferred_element_type=jnp.float32)
+    if metric == "ip":
+        return 1.0 - dots
+    qq = jnp.sum(Q * Q, axis=1, keepdims=True)
+    xx = jnp.sum(F * F, axis=-1)
+    return qq + xx - 2.0 * dots
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+def batch_search_level(
+    graph: DeviceGraph,
+    Q: jax.Array,  # (B, D)
+    entry_ids: jax.Array,  # (B, E) int32 starting points (-1 padded)
+    *,
+    ef: int,
+    max_steps: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Best-first beam search over one graph level for a whole query batch.
+
+    Returns (ids (B, ef), dists (B, ef)) sorted ascending by distance.
+    """
+    B, E = entry_ids.shape
+    M = graph.neighbors.shape[1]
+
+    # init beam from entry points
+    d0 = jnp.where(entry_ids >= 0, gather_dist(Q, graph.feats, entry_ids, graph.metric), INF)
+    ids0 = jnp.where(entry_ids >= 0, entry_ids, -1)
+    pad_n = ef - E if E < ef else 0
+    if pad_n > 0:
+        ids0 = jnp.concatenate([ids0, jnp.full((B, pad_n), -1, jnp.int32)], axis=1)
+        d0 = jnp.concatenate([d0, jnp.full((B, pad_n), INF)], axis=1)
+    elif E > ef:
+        d0, idx = jax.lax.top_k(-d0, ef)
+        d0 = -d0
+        ids0 = jnp.take_along_axis(ids0, idx, axis=1)
+    order = jnp.argsort(d0, axis=1)
+    d0 = jnp.take_along_axis(d0, order, axis=1)
+    ids0 = jnp.take_along_axis(ids0, order, axis=1)
+    expanded0 = ids0 < 0  # padded slots count as expanded
+
+    def cond(state):
+        ids, dists, expanded, steps = state
+        # continue while any query has an unexpanded candidate not worse than
+        # its current worst beam entry
+        best_unexp = jnp.min(jnp.where(expanded, INF, dists), axis=1)  # (B,)
+        worst = jnp.max(jnp.where(ids >= 0, dists, -INF), axis=1)
+        active = best_unexp <= worst
+        return jnp.logical_and(steps < max_steps, jnp.any(active))
+
+    def body(state):
+        ids, dists, expanded, steps = state
+        # pick best unexpanded per query
+        cand_pos = jnp.argmin(jnp.where(expanded, INF, dists), axis=1)  # (B,)
+        cand_id = jnp.take_along_axis(ids, cand_pos[:, None], axis=1)  # (B, 1)
+        has_cand = jnp.take_along_axis(
+            jnp.logical_not(expanded), cand_pos[:, None], axis=1
+        )
+        expanded = expanded.at[jnp.arange(B), cand_pos].set(True)
+        # gather neighbors of the candidate
+        nbrs = graph.neighbors[jnp.clip(cand_id[:, 0], 0, graph.neighbors.shape[0] - 1)]
+        nbrs = jnp.where(has_cand, nbrs, -1)  # (B, M)
+        nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
+        # dedup: mask out neighbors already present in beam
+        dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
+        nd = jnp.where(dup, INF, nd)
+        nbrs = jnp.where(dup, -1, nbrs)
+        # merge beam + neighbors, keep ef best
+        all_ids = jnp.concatenate([ids, nbrs], axis=1)
+        all_d = jnp.concatenate([dists, nd], axis=1)
+        all_exp = jnp.concatenate([expanded, nbrs < 0], axis=1)
+        order = jnp.argsort(all_d, axis=1)[:, :ef]
+        ids = jnp.take_along_axis(all_ids, order, axis=1)
+        dists = jnp.take_along_axis(all_d, order, axis=1)
+        expanded = jnp.take_along_axis(all_exp, order, axis=1)
+        return ids, dists, expanded, steps + 1
+
+    ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
+    return ids, dists
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def batch_greedy_descent(
+    graph: DeviceGraph,
+    Q: jax.Array,  # (B, D)
+    entry: jax.Array,  # (B,) int32
+    *,
+    max_steps: int,
+) -> jax.Array:
+    """Greedy walk to the locally closest node (upper levels L..1,
+    hnsw.hpp:927-944).  Returns (B,) node ids."""
+    B = Q.shape[0]
+
+    def cond(state):
+        cur, cur_d, improved, steps = state
+        return jnp.logical_and(steps < max_steps, jnp.any(improved))
+
+    def body(state):
+        cur, cur_d, improved, steps = state
+        nbrs = graph.neighbors[jnp.clip(cur, 0, graph.neighbors.shape[0] - 1)]  # (B, M)
+        nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
+        best = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+        best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
+        take = jnp.logical_and(improved, best_d < cur_d)
+        cur = jnp.where(take, best_id, cur)
+        cur_d = jnp.where(take, best_d, cur_d)
+        return cur, cur_d, take, steps + 1
+
+    cur_d = gather_dist(Q, graph.feats, entry[:, None], graph.metric)[:, 0]
+    cur, _, _, _ = jax.lax.while_loop(
+        cond, body, (entry, cur_d, jnp.ones((B,), bool), jnp.int32(0))
+    )
+    return cur
+
+
+def select_neighbors_heuristic(
+    cand_ids: np.ndarray,  # (K,) candidate ids sorted by distance to q (asc)
+    cand_dists: np.ndarray,  # (K,) distances to q
+    cand_cross: np.ndarray,  # (K, K) pairwise distances among candidates
+    M: int,
+) -> np.ndarray:
+    """HNSW Algorithm 4 (hnsw.hpp:555-592): greedily keep a candidate only if
+    it is closer to q than to every already-selected neighbor."""
+    selected: list = []
+    for i in range(len(cand_ids)):
+        if cand_ids[i] < 0 or not np.isfinite(cand_dists[i]):
+            continue
+        ok = True
+        for j in selected:
+            if cand_cross[i, j] < cand_dists[i]:
+                ok = False
+                break
+        if ok:
+            selected.append(i)
+            if len(selected) == M:
+                break
+    return cand_ids[np.array(selected, dtype=np.int64)] if selected else np.zeros(0, np.int64)

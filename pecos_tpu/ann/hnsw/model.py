@@ -1,0 +1,279 @@
+"""HNSW model: batch-parallel build + TPU-batched search.
+
+API parity with the reference (pecos/ann/hnsw/model.py:33-269): TrainParams
+(M=32, efC=100, metric ip/l2), PredParams (efS=100, topk=10), predict returns
+(indices, distances) arrays or a csr matrix; save/load as param.json + arrays.
+
+Build strategy (see graph.py docstring): deterministic growing batches replace
+lock-based parallel insertion; every batch's candidate searches run as one
+device call.  Dense features only in this layer — sparse (TF-IDF) queries are
+densified per batch; a blocked-sparse distance kernel is the planned
+optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses as dc
+import json
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as smat
+
+import pecos_tpu
+from pecos_tpu.utils import smat_util
+from .graph import (
+    DeviceGraph,
+    batch_greedy_descent,
+    batch_search_level,
+    pairwise_dist,
+)
+
+LOGGER = logging.getLogger(__name__)
+
+
+class HNSW(pecos_tpu.BaseClass):
+    @dc.dataclass
+    class TrainParams(pecos_tpu.BaseParams):
+        M: int = 32
+        efC: int = 100
+        max_level_upper_bound: int = 5
+        metric_type: str = "ip"  # ip | l2
+        max_M: Optional[int] = None  # upper-level degree cap, default M
+        max_M0: Optional[int] = None  # level-0 degree cap, default 2*M
+        seed: int = 0
+        threads: int = -1  # parity only
+        build_batch_size: int = 2048
+
+    @dc.dataclass
+    class PredParams(pecos_tpu.BaseParams):
+        efS: int = 100
+        topk: int = 10
+        threads: int = -1  # parity only
+
+    def __init__(
+        self,
+        feats: np.ndarray,
+        neighbors0: np.ndarray,
+        upper_neighbors: np.ndarray,
+        node_levels: np.ndarray,
+        entry_point: int,
+        metric: str,
+        pred_params=None,
+    ):
+        self.feats = feats  # (N, D) float32 host copy
+        self.neighbors0 = neighbors0  # (N, maxM0) int32
+        self.upper_neighbors = upper_neighbors  # (max_level, N, maxM) int32
+        self.node_levels = node_levels  # (N,) int32
+        self.entry_point = int(entry_point)
+        self.metric = metric
+        self.pred_params = self.PredParams.from_dict(pred_params)
+        self._dev: Optional[Tuple[DeviceGraph, list]] = None
+
+    # -- device residency -------------------------------------------------------
+    def _device(self):
+        if self._dev is None:
+            feats_d = jnp.asarray(self.feats)
+            g0 = DeviceGraph(feats_d, jnp.asarray(self.neighbors0), self.metric)
+            uppers = [
+                DeviceGraph(feats_d, jnp.asarray(self.upper_neighbors[l]), self.metric)
+                for l in range(self.upper_neighbors.shape[0])
+            ]
+            self._dev = (g0, uppers)
+        return self._dev
+
+    # -- train ------------------------------------------------------------------
+    @classmethod
+    def train(cls, X, train_params=None, pred_params=None, **kwargs) -> "HNSW":
+        params = cls.TrainParams.from_dict(train_params)
+        params.override_with_kwargs(kwargs)
+        feats = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        N, D = feats.shape
+        M = params.M
+        maxM = params.max_M or M
+        maxM0 = params.max_M0 or 2 * M
+        rng = np.random.default_rng(params.seed)
+
+        # geometric level assignment (hnsw.hpp:785-794)
+        mult = 1.0 / np.log(max(M, 2))
+        levels = np.minimum(
+            (-np.log(rng.uniform(size=N, low=1e-12)) * mult).astype(np.int32),
+            params.max_level_upper_bound,
+        )
+        levels[0] = levels.max()  # first point anchors the top level
+        max_level = int(levels.max())
+
+        neighbors0 = np.full((N, maxM0), -1, np.int32)
+        uppers = np.full((max_level, N, maxM), -1, np.int32)  # level l stored at uppers[l-1]
+        entry = 0
+
+        feats_d = jnp.asarray(feats)
+        metric = params.metric_type
+
+        def search_frozen(q_idx: np.ndarray, level_arrays, n_frozen: int):
+            """Search the frozen graph for batch points; returns (B, efC) ids."""
+            Q = feats_d[q_idx]
+            B = len(q_idx)
+            cur = np.full(B, entry, np.int32)
+            cur_d = None
+            # greedy descent through upper levels
+            for l in range(max_level, 0, -1):
+                g = DeviceGraph(feats_d, jnp.asarray(level_arrays[l - 1][:n_frozen]), metric)
+                cur = np.asarray(
+                    batch_greedy_descent(g, Q, jnp.asarray(cur), max_steps=64)
+                )
+            g0 = DeviceGraph(feats_d, jnp.asarray(neighbors0[:n_frozen]), metric)
+            ids, dists = batch_search_level(
+                g0, Q, jnp.asarray(cur)[:, None], ef=params.efC, max_steps=4 * params.efC
+            )
+            return np.asarray(ids), np.asarray(dists)
+
+        def prune_to_closest(nbr_list: np.ndarray, node: int, cap: int) -> np.ndarray:
+            """Keep the cap closest neighbors of `node` (simple prune)."""
+            valid = nbr_list[nbr_list >= 0]
+            if len(valid) <= cap:
+                out = np.full(nbr_list.shape[0], -1, np.int32)
+                out[: len(valid)] = valid
+                return out
+            d = ((feats[valid] - feats[node]) ** 2).sum(axis=1) if metric == "l2" else (
+                1.0 - feats[valid] @ feats[node]
+            )
+            keep = valid[np.argsort(d, kind="stable")[:cap]]
+            out = np.full(nbr_list.shape[0], -1, np.int32)
+            out[: len(keep)] = keep
+            return out
+
+        # growing insertion batches
+        inserted = 1  # point 0 is the initial graph
+        bs = 32
+        while inserted < N:
+            batch = np.arange(inserted, min(inserted + bs, N))
+            ids, dists = search_frozen(batch, uppers, inserted)
+            # candidate cross distances for the select heuristic, batched on device
+            cand_feats = feats_d[jnp.clip(jnp.asarray(ids), 0, N - 1)]  # (B, efC, D)
+            cross = jax.vmap(lambda F: pairwise_dist(F, F, metric))(cand_feats)
+            cross = np.asarray(cross)
+            ids_np, dists_np = ids, dists
+            for bi, p in enumerate(batch):
+                cand = ids_np[bi]
+                cd = dists_np[bi]
+                # select-neighbors heuristic (Alg. 4)
+                selected = []
+                for i in range(len(cand)):
+                    if cand[i] < 0 or not np.isfinite(cd[i]):
+                        continue
+                    if all(cross[bi, i, j] >= cd[i] for j in selected):
+                        selected.append(i)
+                        if len(selected) >= M:
+                            break
+                sel = cand[selected].astype(np.int32)
+                # connect at every level up to the point's level
+                for l in range(min(int(levels[p]), max_level) + 1):
+                    if l == 0:
+                        arr, cap = neighbors0, maxM0
+                    else:
+                        arr, cap = uppers[l - 1], maxM
+                    if l > 0:
+                        lv = sel[levels[sel] >= l]
+                    else:
+                        lv = sel
+                    lv = lv[:cap]
+                    arr[p, : len(lv)] = lv
+                    # reverse edges with simple prune on overflow
+                    for n in lv:
+                        row = arr[n]
+                        slot = np.argmax(row < 0) if (row < 0).any() else -1
+                        if slot >= 0 and row[slot] < 0:
+                            row[slot] = p
+                        else:
+                            cand_rev = np.concatenate([row, [p]]).astype(np.int32)
+                            arr[n] = prune_to_closest(cand_rev, n, cap)[:cap]
+                if levels[p] > levels[entry]:
+                    entry = int(p)
+            inserted = batch[-1] + 1
+            bs = min(params.build_batch_size, max(32, inserted))
+
+        model = cls(
+            feats,
+            neighbors0,
+            uppers,
+            levels,
+            entry,
+            metric,
+            pred_params=pred_params,
+        )
+        return model
+
+    # -- predict ------------------------------------------------------------------
+    def predict(
+        self, X, pred_params=None, ret_csr: bool = False, **kwargs
+    ):
+        params = self.get_pred_params() if pred_params is None else self.PredParams.from_dict(pred_params)
+        params.override_with_kwargs(kwargs)
+        efS, topk = params.efS, params.topk
+        Q = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        B = Q.shape[0]
+        g0, uppers = self._device()
+        Qd = jnp.asarray(Q)
+        cur = jnp.full((B,), self.entry_point, jnp.int32)
+        for l in range(len(uppers), 0, -1):
+            cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
+        ids, dists = batch_search_level(
+            g0, Qd, cur[:, None], ef=max(efS, topk), max_steps=4 * max(efS, topk)
+        )
+        ids = np.asarray(ids)[:, :topk]
+        dists = np.asarray(dists)[:, :topk]
+        if ret_csr:
+            return smat_util.csr_from_topk_arrays(
+                ids.astype(np.int64), -dists.astype(np.float32), self.feats.shape[0]
+            )
+        return ids, dists
+
+    def get_pred_params(self):
+        import copy
+
+        return copy.deepcopy(self.pred_params)
+
+    # -- persistence ---------------------------------------------------------------
+    def save(self, folder: str):
+        os.makedirs(folder, exist_ok=True)
+        param = self.append_meta(
+            {
+                "model": type(self).__name__,
+                "metric": self.metric,
+                "entry_point": self.entry_point,
+                "pred_kwargs": self.pred_params.to_dict(),
+            }
+        )
+        with open(os.path.join(folder, "param.json"), "w") as f:
+            json.dump(param, f, indent=True)
+        np.savez(
+            os.path.join(folder, "graph.npz"),
+            feats=self.feats,
+            neighbors0=self.neighbors0,
+            upper_neighbors=self.upper_neighbors,
+            node_levels=self.node_levels,
+        )
+
+    @classmethod
+    def load(cls, folder: str) -> "HNSW":
+        with open(os.path.join(folder, "param.json")) as f:
+            param = json.load(f)
+        z = np.load(os.path.join(folder, "graph.npz"))
+        return cls(
+            z["feats"],
+            z["neighbors0"],
+            z["upper_neighbors"],
+            z["node_levels"],
+            param["entry_point"],
+            param["metric"],
+            pred_params={
+                k: v
+                for k, v in param.get("pred_kwargs", {}).items()
+                if k in ("efS", "topk", "threads")
+            },
+        )

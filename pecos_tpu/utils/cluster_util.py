@@ -201,14 +201,14 @@ class ClusterChain(object):
         to expand a beam: child ids come out in ascending order (deterministic).
         """
         C = self.chain[d].tocsc()
+        C.sort_indices()
         n_children, n_parents = C.shape
         counts = np.diff(C.indptr)
         max_c = int(counts.max()) if n_parents else 0
         table = np.full((n_parents, max_c), pad_child, dtype=np.int32)
-        for p in range(n_parents):
-            s, e = C.indptr[p], C.indptr[p + 1]
-            kids = np.sort(C.indices[s:e])
-            table[p, : e - s] = kids
+        rows = np.repeat(np.arange(n_parents), counts)
+        offs = np.arange(C.nnz) - np.repeat(C.indptr[:-1], counts)
+        table[rows, offs] = C.indices
         return table, max_c
 
     def parents_of(self, d: int) -> np.ndarray:

@@ -282,10 +282,10 @@ def csr_to_padded(
     pad = A.shape[1] if pad_index is None else pad_index
     idx = np.full((n, cap), pad, dtype=np.int32)
     val = np.zeros((n, cap), dtype=np.float32)
-    for i in range(n):
-        s, e = A.indptr[i], A.indptr[i + 1]
-        idx[i, : e - s] = A.indices[s:e]
-        val[i, : e - s] = A.data[s:e]
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
+    idx[rows, offs] = A.indices
+    val[rows, offs] = A.data
     return PaddedCsr(indices=idx, values=val, shape=A.shape, pad_index=pad)
 
 

@@ -94,10 +94,10 @@ def build_device_layer(
         cap = max(8, int(-(-int(nnz.max() if L else 0) // 8) * 8))
         ids = np.zeros((L, cap), dtype=np.int32)
         vals = np.zeros((L, cap), dtype=np.float32)
-        for l in range(L):
-            s, e = Wc.indptr[l], Wc.indptr[l + 1]
-            ids[l, : e - s] = Wc.indices[s:e]
-            vals[l, : e - s] = Wc.data[s:e]
+        rows = np.repeat(np.arange(L), nnz)
+        offs = np.arange(Wc.nnz) - np.repeat(Wc.indptr[:-1], nnz)
+        ids[rows, offs] = Wc.indices
+        vals[rows, offs] = Wc.data
         return DeviceLayer(
             "plabel",
             L,
@@ -118,6 +118,42 @@ def prepare_queries(X, bias: float, batch: Optional[int] = None) -> np.ndarray:
     if bias > 0:
         Xd = np.hstack([Xd, np.full((Xd.shape[0], 1), bias, dtype=np.float32)])
     return Xd
+
+
+def prepare_queries_padded(X: smat.spmatrix, round_to: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparse queries as padded (ids, vals) — the wire format for host->device.
+
+    A TF-IDF query row has a few hundred nonzeros; shipping the dense row
+    (D floats, megabytes at Wiki-500K scale) would be transfer-bound.  Pad ids
+    to a power-of-two-ish capacity; id D+1 marks padding (scattered into a
+    dummy column on device).
+    """
+    A = X.tocsr()
+    nnz = np.diff(A.indptr)
+    max_nnz = int(nnz.max()) if A.shape[0] else 1
+    cap = max(round_to, 1 << (max_nnz - 1).bit_length())
+    D = A.shape[1]
+    ids = np.full((A.shape[0], cap), D + 1, dtype=np.int32)
+    vals = np.zeros((A.shape[0], cap), dtype=np.float32)
+    rows = np.repeat(np.arange(A.shape[0]), nnz)
+    offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz)
+    ids[rows, offs] = A.indices
+    vals[rows, offs] = A.data
+    return ids, vals
+
+
+def scatter_queries(ids: jax.Array, vals: jax.Array, D: int, bias: float) -> jax.Array:
+    """Device-side densification: (B, cap) ids/vals -> (B, D+1) dense with bias.
+
+    One scatter-add into a (B, D+2) buffer (column D holds the bias feature,
+    column D+1 swallows padding), then slice off the dummy column.
+    """
+    B = ids.shape[0]
+    X = jnp.zeros((B, D + 2), jnp.float32)
+    X = X.at[jnp.arange(B)[:, None], ids].add(vals)
+    if bias > 0:
+        X = X.at[:, D].set(jnp.float32(bias))
+    return X[:, : D + 1]
 
 
 def score_candidates(X: jax.Array, layer: DeviceLayer, cand: jax.Array) -> jax.Array:
@@ -222,11 +258,27 @@ class CompiledHierModel:
         return len(self.layers)
 
     def _predictor(self, beam_size: int, only_topk: int, pp_names: Tuple[str, ...], batch: int):
-        key = (beam_size, only_topk, pp_names, batch)
+        key = ("dense", beam_size, only_topk, pp_names, batch)
         if key not in self._cache:
 
             @jax.jit
             def fn(X, layers):
+                return chain_predict(X, layers, beam_size, only_topk, pp_names)
+
+            self._cache[key] = fn
+        return self._cache[key]
+
+    def _sparse_predictor(
+        self, beam_size: int, only_topk: int, pp_names: Tuple[str, ...], batch: int, cap: int
+    ):
+        key = ("sparse", beam_size, only_topk, pp_names, batch, cap)
+        if key not in self._cache:
+            D = self.nr_features
+            bias = self.bias
+
+            @jax.jit
+            def fn(ids, vals, layers):
+                X = scatter_queries(ids, vals, D, bias)
                 return chain_predict(X, layers, beam_size, only_topk, pp_names)
 
             self._cache[key] = fn
@@ -257,17 +309,34 @@ class CompiledHierModel:
             pp_names = tuple(post_processor)
         for name in pp_names:
             PostProcessor.get(name)  # validate early with a clear error
-        Xd = prepare_queries(X, self.bias)
-        N = Xd.shape[0]
-        batch = min(batch_size, max(1, 1 << (N - 1).bit_length()))
-        fn = self._predictor(beam_size, only_topk, pp_names, batch)
+        N = X.shape[0]
+        batch = min(batch_size, max(1, 1 << max(N - 1, 0).bit_length()))
+        sparse_input = smat.issparse(X)
+        if sparse_input:
+            ids_all, vals_all = prepare_queries_padded(X)
+            cap = ids_all.shape[1]
+            fn = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
+        else:
+            Xd = prepare_queries(X, self.bias)
+            fn = self._predictor(beam_size, only_topk, pp_names, batch)
         out_idx, out_val = [], []
         for s in range(0, N, batch):
-            xb = Xd[s : s + batch]
-            pad = batch - xb.shape[0]
-            if pad:
-                xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
-            labels, vals = fn(jnp.asarray(xb), self.layers)
+            if sparse_input:
+                ib = ids_all[s : s + batch]
+                vb = vals_all[s : s + batch]
+                pad = batch - ib.shape[0]
+                if pad:
+                    ib = np.vstack(
+                        [ib, np.full((pad, ib.shape[1]), self.nr_features + 1, np.int32)]
+                    )
+                    vb = np.vstack([vb, np.zeros((pad, vb.shape[1]), np.float32)])
+                labels, vals = fn(jnp.asarray(ib), jnp.asarray(vb), self.layers)
+            else:
+                xb = Xd[s : s + batch]
+                pad = batch - xb.shape[0]
+                if pad:
+                    xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
+                labels, vals = fn(jnp.asarray(xb), self.layers)
             labels = np.asarray(jax.device_get(labels))
             vals = np.asarray(jax.device_get(vals))
             if pad:
@@ -314,15 +383,16 @@ def single_layer_predict(
         no_prev = True
     else:
         codes = csr_codes.tocsr()
-        max_b = max(int(np.diff(codes.indptr).max()), 1) if N else 1
+        counts = np.diff(codes.indptr)
+        max_b = max(int(counts.max()), 1) if N else 1
         # bucket the beam width to limit recompiles
         max_b = 1 << (max_b - 1).bit_length()
         parents_np = np.full((N, max_b), -1, dtype=np.int32)
         pvals_np = np.zeros((N, max_b), dtype=np.float32)
-        for i in range(N):
-            s, e = codes.indptr[i], codes.indptr[i + 1]
-            parents_np[i, : e - s] = codes.indices[s:e]
-            pvals_np[i, : e - s] = codes.data[s:e]
+        rows = np.repeat(np.arange(N), counts)
+        offs = np.arange(codes.nnz) - np.repeat(codes.indptr[:-1], counts)
+        parents_np[rows, offs] = codes.indices
+        pvals_np[rows, offs] = codes.data
         no_prev = False
     k = min(only_topk, parents_np.shape[1] * layer.max_children)
     out_idx, out_val = [], []

@@ -1,0 +1,107 @@
+"""Distributed clustering/training tests (reference idiom:
+test_dist_xmc.py:39-169 / test_dist_xlinear.py:71-149 — DummyComm in-process,
+distributed path must match the non-distributed result)."""
+
+import numpy as np
+import scipy.sparse as smat
+
+from pecos_tpu.distributed.xmc import DistClusterChain, DistClustering
+from pecos_tpu.distributed.xmc.xlinear import DistributedXLinearModel, XLinearLoadBalancer
+from pecos_tpu.parallel.comm import DummyComm
+from pecos_tpu.utils import smat_util
+from pecos_tpu.utils.cluster_util import ClusterChain
+from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory
+from pecos_tpu.xmc.xlinear import XLinearModel
+
+
+def _synthetic(n=160, d=12, L=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((L, d)).astype(np.float32) * 3
+    X = np.zeros((n, d), np.float32)
+    rows, cols = [], []
+    for i in range(n):
+        l = i % L
+        X[i] = centers[l] + rng.standard_normal(d).astype(np.float32) * 0.3
+        rows.append(i)
+        cols.append(l)
+    Y = smat.csr_matrix((np.ones(n, np.float32), (rows, cols)), shape=(n, L))
+    return smat.csr_matrix(X), Y
+
+
+def test_dist_chain_resplit_and_subtree_roundtrip():
+    X, Y = _synthetic()
+    chain = Indexer.gen(
+        LabelEmbeddingFactory.create(Y, X, "pifa"), max_leaf_size=4, nr_splits=2
+    )
+    dist = DistClusterChain(chain, split_depth=2)
+    n_sub = dist.get_num_sub_tree()
+    assert n_sub == chain[2].shape[1]
+    # label assignments form a partition
+    assignments = dist.get_sub_tree_assignment()
+    allv = np.concatenate(assignments)
+    assert sorted(allv.tolist()) == list(range(Y.shape[1]))
+    # subtree chains have consistent shapes
+    for t in range(n_sub):
+        sub = dist.get_sub_tree_chain(t)
+        assert sub[-1].shape[0] == len(assignments[t])
+    # meta Y shape
+    assert dist.get_meta_Y(Y).shape == (X.shape[0], n_sub)
+
+
+def test_dist_clustering_dummycomm():
+    X, Y = _synthetic(seed=1)
+    comm = DummyComm()
+    dist = DistClustering.dist_get_cluster_chain(
+        X,
+        Y,
+        comm,
+        cluster_params={"indexer_params": {"nr_splits": 2, "max_leaf_size": 4}},
+        min_n_sub_tree=2,
+    )
+    chain = dist.get_cluster_chain()
+    assert chain.nr_labels == Y.shape[1]
+    # every chain level valid (one parent per child)
+    for C in chain:
+        assert (np.diff(C.tocsr().indptr) == 1).all()
+
+
+def test_distributed_train_matches_direct():
+    X, Y = _synthetic(seed=2)
+    comm = DummyComm()
+    dist = DistClustering.dist_get_cluster_chain(
+        X,
+        Y,
+        comm,
+        cluster_params={"indexer_params": {"nr_splits": 2, "max_leaf_size": 4}},
+        min_n_sub_tree=2,
+    )
+    model_dist = DistributedXLinearModel.train(
+        X,
+        Y,
+        comm,
+        dist_chain=dist,
+        train_params={"hlm_args": {"model_chain": {"threshold": 0.0}}},
+    )
+    model_direct = XLinearModel.train(
+        X, Y, C=dist.get_cluster_chain(), threshold=0.0, shallow=True
+    )
+    assert model_dist.model.depth == model_direct.model.depth
+    P1 = model_dist.predict(X, beam_size=4, only_topk=3)
+    P2 = model_direct.predict(X, beam_size=4, only_topk=3)
+    d1 = np.asarray(P1.todense())
+    d2 = np.asarray(P2.todense())
+    # identical up to top-k tie-breaks at float tolerance: >=99% of entries match
+    close = np.isclose(d1, d2, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of entries match"
+    # and the top-1 label agrees everywhere
+    np.testing.assert_array_equal(d1.argmax(axis=1), d2.argmax(axis=1))
+
+
+def test_load_balancer_partition():
+    w = np.array([5.0, 1, 1, 1, 5, 1, 1, 1])
+    jobs = XLinearLoadBalancer(main_workload_factor=0.5).partition(w, 3)
+    assert sum(len(j) for j in jobs) == 8
+    assert sorted(x for j in jobs for x in j) == list(range(8))
+    # order-preserving contiguity
+    flat = [x for j in jobs for x in j]
+    assert flat == sorted(flat)

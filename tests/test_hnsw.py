@@ -1,0 +1,76 @@
+"""HNSW recall property tests (reference idiom: test/pecos/ann/test_hnsw.py:58-123 —
+recall@10 vs exact brute force ~= 1.0 at efS in {50, 75, 100})."""
+
+import numpy as np
+import pytest
+
+from pecos_tpu.ann import HNSW
+
+
+def _data(n=400, nq=50, d=16, seed=0, normalize=True):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    Q = rng.standard_normal((nq, d)).astype(np.float32)
+    if normalize:
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    return X, Q
+
+
+def _exact_topk(X, Q, k, metric):
+    if metric == "ip":
+        d = 1.0 - Q @ X.T
+    else:
+        d = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    return np.argsort(d, axis=1, kind="stable")[:, :k]
+
+
+def _recall(pred_ids, true_ids):
+    hits = 0
+    for p, t in zip(pred_ids, true_ids):
+        hits += len(set(p.tolist()) & set(t.tolist()))
+    return hits / true_ids.size
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_recall_vs_bruteforce(metric):
+    X, Q = _data()
+    model = HNSW.train(X, M=16, efC=60, metric_type=metric, max_level_upper_bound=3)
+    true_ids = _exact_topk(X, Q, 10, metric)
+    for efS in (50, 75, 100):
+        ids, dists = model.predict(Q, efS=efS, topk=10)
+        rec = _recall(ids, true_ids)
+        assert rec >= 0.95, f"metric={metric} efS={efS} recall={rec}"
+        # distances must be ascending
+        assert (np.diff(dists, axis=1) >= -1e-5).all()
+
+
+def test_save_load_identical(tmp_path):
+    X, Q = _data(n=150, nq=10)
+    model = HNSW.train(X, M=8, efC=40)
+    folder = str(tmp_path / "hnsw")
+    model.save(folder)
+    loaded = HNSW.load(folder)
+    i1, d1 = model.predict(Q, efS=30, topk=5)
+    i2, d2 = loaded.predict(Q, efS=30, topk=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_predict_csr_output():
+    X, Q = _data(n=100, nq=8)
+    model = HNSW.train(X, M=8, efC=40)
+    P = model.predict(Q, efS=30, topk=5, ret_csr=True)
+    assert P.shape == (8, 100)
+    assert (np.diff(P.indptr) == 5).all()
+
+
+def test_degree_caps():
+    X, _ = _data(n=200, nq=1)
+    M = 8
+    model = HNSW.train(X, M=M, efC=40)
+    assert model.neighbors0.shape[1] == 2 * M
+    assert (model.neighbors0 >= -1).all() and (model.neighbors0 < 200).all()
+    # no self-loops at level 0
+    for i in range(200):
+        assert i not in set(model.neighbors0[i][model.neighbors0[i] >= 0].tolist())
