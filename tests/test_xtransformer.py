@@ -1,0 +1,120 @@
+"""XR-Transformer tests on toy text with a tiny random-init encoder
+(reference idiom: test_xtransformer.py:40-204 — 1-step training on toy text)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as smat
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xtf")
+    words = [f"tok{i}" for i in range(24)]
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    vocab_file = d / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+    L = 8
+    corpus, rows, cols = [], [], []
+    for i in range(64):
+        l = i % L
+        corpus.append(f"tok{l} tok{l + 8} tok{l + 16}")
+        rows.append(i)
+        cols.append(l)
+    Y = smat.csr_matrix((np.ones(64, np.float32), (rows, cols)), shape=(64, L))
+    rng = np.random.default_rng(0)
+    X_feat = smat.csr_matrix(rng.standard_normal((64, 12)).astype(np.float32))
+    model_config = dict(
+        vocab_size=len(vocab),
+        dim=32,
+        n_layers=1,
+        n_heads=2,
+        hidden_dim=64,
+        max_position_embeddings=64,
+        vocab_file=str(vocab_file),
+    )
+    return corpus, Y, X_feat, model_config
+
+
+def _train_params(model_config, epochs=8):
+    from pecos_tpu.xmc.xtransformer import TransformerMatcher
+
+    return TransformerMatcher.TrainParams(
+        model_type="distilbert",
+        model_config=model_config,
+        truncate_length=16,
+        batch_size=16,
+        num_train_epochs=epochs,
+        learning_rate=2e-3,
+        max_active_matching_labels=8,
+        bootstrap_method="inherit",
+        seed=0,
+    )
+
+
+def test_matcher_train_predict(tiny_setup):
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, TransformerMatcher
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y, X_feat=X_feat)
+    matcher, trn_pred, trn_emb = TransformerMatcher.train(
+        prob, train_params=_train_params(model_config)
+    )
+    assert trn_emb.shape == (64, 32)
+    assert trn_pred.shape == (64, 8)
+    top1 = np.asarray(trn_pred.argmax(axis=1)).ravel()
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    acc = (top1 == truth).mean()
+    assert acc > 0.8, f"matcher train accuracy {acc}"
+
+
+def test_matcher_save_load(tiny_setup, tmp_path):
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, TransformerMatcher
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y)
+    matcher, _, _ = TransformerMatcher.train(
+        prob, train_params=_train_params(model_config, epochs=1)
+    )
+    folder = str(tmp_path / "matcher")
+    matcher.save(folder)
+    loaded = TransformerMatcher.load(folder)
+    P1, E1 = matcher.predict(corpus[:8])
+    P2, E2 = loaded.predict(corpus[:8])
+    np.testing.assert_allclose(E1, E2, rtol=1e-5, atol=1e-6)
+    assert (P1 != P2).nnz == 0
+
+
+def test_xtransformer_three_phase(tiny_setup, tmp_path):
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, XTransformer
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y, X_feat=X_feat)
+    xtf = XTransformer.train(
+        prob,
+        train_params=XTransformer.TrainParams(
+            matcher_params_chain=_train_params(model_config),
+            preliminary_indexer_params={"max_leaf_size": 2, "nr_splits": 2},
+            refined_indexer_params={"max_leaf_size": 2, "nr_splits": 2},
+        ),
+        threshold=0.0,
+    )
+    P = xtf.predict(corpus, X_feat=X_feat, only_topk=2)
+    assert P.shape == (64, 8)
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    top1 = np.asarray(P.argmax(axis=1)).ravel()
+    acc = (top1 == truth).mean()
+    assert acc > 0.8, f"3-phase accuracy {acc}"
+
+    emb = xtf.encode(corpus[:4])
+    assert emb.shape == (4, 32)
+
+    folder = str(tmp_path / "xtf")
+    xtf.save(folder)
+    loaded = XTransformer.load(folder)
+    P2 = loaded.predict(corpus, X_feat=X_feat, only_topk=2)
+    assert (P != P2).nnz == 0
