@@ -151,6 +151,69 @@ def batch_search_level(
     return ids, dists
 
 
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+def batch_search_level_pq(
+    codes: jax.Array,  # (N, S) uint8 PQ codes
+    neighbors: jax.Array,  # (N, M) int32
+    lut: jax.Array,  # (B, S, 16) float32 per-query LUT
+    entry_ids: jax.Array,  # (B, E)
+    *,
+    ef: int,
+    max_steps: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """PQ4 variant of batch_search_level: distances come from the per-query
+    LUT gather (quantizer_impl/common.hpp semantics) instead of exact dots."""
+    from .pq import pq_gather_dist
+
+    B, E = entry_ids.shape
+
+    def dist(ids):
+        return pq_gather_dist(lut, codes, ids)
+
+    d0 = jnp.where(entry_ids >= 0, dist(entry_ids), INF)
+    ids0 = jnp.where(entry_ids >= 0, entry_ids, -1)
+    pad_n = ef - E if E < ef else 0
+    if pad_n > 0:
+        ids0 = jnp.concatenate([ids0, jnp.full((B, pad_n), -1, jnp.int32)], axis=1)
+        d0 = jnp.concatenate([d0, jnp.full((B, pad_n), INF)], axis=1)
+    order = jnp.argsort(d0, axis=1)
+    d0 = jnp.take_along_axis(d0, order, axis=1)
+    ids0 = jnp.take_along_axis(ids0, order, axis=1)
+    expanded0 = ids0 < 0
+
+    def cond(state):
+        ids, dists, expanded, steps = state
+        best_unexp = jnp.min(jnp.where(expanded, INF, dists), axis=1)
+        worst = jnp.max(jnp.where(ids >= 0, dists, -INF), axis=1)
+        return jnp.logical_and(steps < max_steps, jnp.any(best_unexp <= worst))
+
+    def body(state):
+        ids, dists, expanded, steps = state
+        cand_pos = jnp.argmin(jnp.where(expanded, INF, dists), axis=1)
+        cand_id = jnp.take_along_axis(ids, cand_pos[:, None], axis=1)
+        has_cand = jnp.take_along_axis(jnp.logical_not(expanded), cand_pos[:, None], axis=1)
+        expanded = expanded.at[jnp.arange(B), cand_pos].set(True)
+        nbrs = neighbors[jnp.clip(cand_id[:, 0], 0, neighbors.shape[0] - 1)]
+        nbrs = jnp.where(has_cand, nbrs, -1)
+        nd = jnp.where(nbrs >= 0, dist(nbrs), INF)
+        dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
+        nd = jnp.where(dup, INF, nd)
+        nbrs = jnp.where(dup, -1, nbrs)
+        all_ids = jnp.concatenate([ids, nbrs], axis=1)
+        all_d = jnp.concatenate([dists, nd], axis=1)
+        all_exp = jnp.concatenate([expanded, nbrs < 0], axis=1)
+        order = jnp.argsort(all_d, axis=1)[:, :ef]
+        return (
+            jnp.take_along_axis(all_ids, order, axis=1),
+            jnp.take_along_axis(all_d, order, axis=1),
+            jnp.take_along_axis(all_exp, order, axis=1),
+            steps + 1,
+        )
+
+    ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
+    return ids, dists
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def batch_greedy_descent(
     graph: DeviceGraph,

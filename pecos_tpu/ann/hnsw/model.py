@@ -277,3 +277,123 @@ class HNSW(pecos_tpu.BaseClass):
                 if k in ("efS", "topk", "threads")
             },
         )
+
+
+class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
+    """HNSW with PQ4-quantized level-0 scoring + exact rerank.
+
+    Reference: pecos/core/ann/hnsw.hpp:976-1335 — train a plain HNSW, quantize
+    L0 features (16 centroids/subspace, 4 bits/code), search with the
+    per-query LUT, rerank the top num_rerank exactly (:1239-1258).  The
+    reference supports dense-L2 only (:1000-1003); the TPU LUT gather is
+    metric-agnostic so ip is supported too.
+    """
+
+    @dc.dataclass
+    class TrainParams(pecos_tpu.BaseParams):
+        hnsw_params: Optional["HNSW.TrainParams"] = None
+        num_subspaces: int = 64
+        kmeans_iters: int = 10
+        seed: int = 0
+
+    @dc.dataclass
+    class PredParams(pecos_tpu.BaseParams):
+        efS: int = 100
+        topk: int = 10
+        num_rerank: int = 100
+        threads: int = -1
+
+    def __init__(self, hnsw: HNSW, pq, pred_params=None):
+        self.hnsw = hnsw
+        self.pq = pq
+        self.pred_params = self.PredParams.from_dict(pred_params)
+        self._codes_d = None
+
+    @classmethod
+    def train(cls, X, train_params=None, pred_params=None, **kwargs) -> "HNSWProductQuantizer4Bits":
+        from .pq import train_pq4
+
+        params = cls.TrainParams.from_dict(train_params)
+        params.override_with_kwargs(kwargs)
+        hnsw = HNSW.train(X, train_params=params.hnsw_params)
+        pq = train_pq4(
+            hnsw.feats,
+            num_subspaces=params.num_subspaces,
+            iters=params.kmeans_iters,
+            seed=params.seed,
+        )
+        return cls(hnsw, pq, pred_params=pred_params)
+
+    def predict(self, X, pred_params=None, **kwargs):
+        from .graph import batch_greedy_descent, batch_search_level_pq
+        from .pq import build_lut
+
+        params = self.get_pred_params() if pred_params is None else self.PredParams.from_dict(pred_params)
+        params.override_with_kwargs(kwargs)
+        Q = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        B = Q.shape[0]
+        g0, uppers = self.hnsw._device()
+        if self._codes_d is None:
+            self._codes_d = jnp.asarray(self.pq.codes)
+        Qd = jnp.asarray(Q)
+        cur = jnp.full((B,), self.hnsw.entry_point, jnp.int32)
+        for l in range(len(uppers), 0, -1):
+            cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
+        lut = jnp.asarray(build_lut(self.pq, Q, self.hnsw.metric))
+        ef = max(params.efS, params.num_rerank, params.topk)
+        ids, approx = batch_search_level_pq(
+            self._codes_d,
+            g0.neighbors,
+            lut,
+            cur[:, None],
+            ef=ef,
+            max_steps=4 * ef,
+        )
+        # exact rerank of the top num_rerank (hnsw.hpp:1239-1258)
+        from .graph import gather_dist
+
+        top = jnp.asarray(np.asarray(ids)[:, : params.num_rerank])
+        exact = gather_dist(Qd, g0.feats, jnp.clip(top, 0, g0.feats.shape[0] - 1), self.hnsw.metric)
+        exact = jnp.where(top >= 0, exact, jnp.float32(3.4e38))
+        neg_top, pos = jax.lax.top_k(-exact, min(params.topk, exact.shape[1]))
+        out_ids = np.asarray(jnp.take_along_axis(top, pos, axis=1))
+        out_d = np.asarray(-neg_top)
+        return out_ids, out_d
+
+    def get_pred_params(self):
+        import copy
+
+        return copy.deepcopy(self.pred_params)
+
+    def save(self, folder: str):
+        os.makedirs(folder, exist_ok=True)
+        self.hnsw.save(os.path.join(folder, "hnsw"))
+        np.savez(
+            os.path.join(folder, "pq.npz"),
+            codebooks=self.pq.codebooks,
+            codes=self.pq.codes,
+            dim=np.int64(self.pq.dim),
+        )
+        with open(os.path.join(folder, "param.json"), "w") as f:
+            json.dump(self.append_meta({"pred_kwargs": self.pred_params.to_dict()}), f)
+
+    @classmethod
+    def load(cls, folder: str) -> "HNSWProductQuantizer4Bits":
+        from .pq import ProductQuantizer4Bits
+
+        hnsw = HNSW.load(os.path.join(folder, "hnsw"))
+        z = np.load(os.path.join(folder, "pq.npz"))
+        pq = ProductQuantizer4Bits(
+            codebooks=z["codebooks"], codes=z["codes"], dim=int(z["dim"])
+        )
+        with open(os.path.join(folder, "param.json")) as f:
+            param = json.load(f)
+        return cls(
+            hnsw,
+            pq,
+            pred_params={
+                k: v
+                for k, v in param.get("pred_kwargs", {}).items()
+                if k in ("efS", "topk", "num_rerank", "threads")
+            },
+        )

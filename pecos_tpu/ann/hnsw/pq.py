@@ -1,0 +1,129 @@
+"""4-bit product quantization for HNSW level-0 scoring.
+
+Reference: HNSWProductQuantizer4Bits (pecos/core/ann/hnsw.hpp:976-1335 +
+quantizer_impl/*.hpp): 16 centroids per subspace (4 bits/code), per-query
+uint8 distance LUT (quantized with scale+bias, common.hpp:95-140), neighbor
+scoring via AVX512 shuffle LUT gather, exact rerank of the top candidates.
+
+TPU re-design: the AVX shuffle becomes a vectorized table gather — codes are
+kept unpacked as (N, S) uint8 on device (HBM is plentiful; int8 lanes are
+native) and a candidate's approximate distance is
+``sum_s LUT[s, code[n, s]]`` computed with one take_along_axis + sum over a
+whole (batch x candidates) block.  Codebooks train with a few Lloyd rounds of
+batched k-means on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ProductQuantizer4Bits:
+    """Codebooks (S, 16, d_sub) + per-point codes (N, S) uint8."""
+
+    codebooks: np.ndarray  # (S, 16, d_sub) float32
+    codes: np.ndarray  # (N, S) uint8
+    dim: int  # original (unpadded) feature dim
+
+    @property
+    def num_subspaces(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def d_sub(self) -> int:
+        return self.codebooks.shape[2]
+
+
+def _pad_dim(X: np.ndarray, num_subspaces: int) -> np.ndarray:
+    D = X.shape[1]
+    d_sub = -(-D // num_subspaces)
+    pad = num_subspaces * d_sub - D
+    if pad:
+        X = np.hstack([X, np.zeros((X.shape[0], pad), X.dtype)])
+    return X
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _kmeans16(Xs: jax.Array, key: jax.Array, iters: int) -> jax.Array:
+    """(N, d) -> (16, d) centroids via Lloyd iterations (batched on MXU)."""
+    N = Xs.shape[0]
+    init_idx = jax.random.choice(key, N, shape=(16,), replace=False)
+    cent = Xs[init_idx]
+
+    def body(_, cent):
+        d = (
+            jnp.sum(Xs * Xs, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(Xs, cent.T, preferred_element_type=jnp.float32)
+            + jnp.sum(cent * cent, axis=1)[None, :]
+        )
+        assign = jnp.argmin(d, axis=1)
+        sums = jax.ops.segment_sum(Xs, assign, num_segments=16)
+        cnts = jax.ops.segment_sum(jnp.ones((N,), jnp.float32), assign, num_segments=16)
+        new = sums / jnp.maximum(cnts, 1.0)[:, None]
+        return jnp.where(cnts[:, None] > 0, new, cent)
+
+    return jax.lax.fori_loop(0, iters, body, cent)
+
+
+def train_pq4(
+    X: np.ndarray, num_subspaces: int = 64, iters: int = 10, seed: int = 0
+) -> ProductQuantizer4Bits:
+    """Train per-subspace 16-centroid codebooks and encode all points."""
+    D = X.shape[1]
+    Xp = _pad_dim(np.asarray(X, np.float32), num_subspaces)
+    d_sub = Xp.shape[1] // num_subspaces
+    Xs = Xp.reshape(X.shape[0], num_subspaces, d_sub)
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, num_subspaces)
+    cent = jax.vmap(lambda xs, k: _kmeans16(xs, k, iters), in_axes=(1, 0))(
+        jnp.asarray(Xs), keys
+    )  # (S, 16, d_sub)
+    cent = np.asarray(cent)
+    # encode
+    codes = np.empty((X.shape[0], num_subspaces), np.uint8)
+    Xs_np = np.asarray(Xs)
+    for s in range(num_subspaces):
+        d = (
+            (Xs_np[:, s, :] ** 2).sum(1, keepdims=True)
+            - 2.0 * Xs_np[:, s, :] @ cent[s].T
+            + (cent[s] ** 2).sum(1)[None, :]
+        )
+        codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+    return ProductQuantizer4Bits(codebooks=cent, codes=codes, dim=D)
+
+
+def build_lut(pq: ProductQuantizer4Bits, Q: np.ndarray, metric: str) -> np.ndarray:
+    """Per-query LUT (B, S, 16): distance contribution of each centroid.
+
+    l2: ||q_s - c||^2 per subspace.  ip: -<q_s, c> (summing gives -<q, x~>;
+    adding 1 at use-site matches the 1 - <q, x> convention).
+    """
+    B = Q.shape[0]
+    Qp = _pad_dim(np.asarray(Q, np.float32), pq.num_subspaces)
+    Qs = Qp.reshape(B, pq.num_subspaces, pq.d_sub)
+    dots = np.einsum("bsd,skd->bsk", Qs, pq.codebooks)
+    if metric == "ip":
+        return (-dots).astype(np.float32)
+    qq = (Qs**2).sum(-1, keepdims=True)
+    cc = (pq.codebooks**2).sum(-1)[None, :, :]
+    return (qq + cc - 2.0 * dots).astype(np.float32)
+
+
+def pq_gather_dist(
+    lut: jax.Array,  # (B, S, 16) float32
+    codes: jax.Array,  # (N, S) uint8 on device
+    ids: jax.Array,  # (B, K) int32 candidate ids
+    ip_offset: float = 0.0,
+) -> jax.Array:
+    """Approximate distances for candidates: sum_s LUT[b, s, code[id, s]]."""
+    c = codes[jnp.clip(ids, 0, codes.shape[0] - 1)].astype(jnp.int32)  # (B, K, S)
+    # lut (B, S, 16) -> gather along last dim with codes transposed to (B, S, K)
+    g = jnp.take_along_axis(lut, jnp.swapaxes(c, 1, 2), axis=2)  # (B, S, K)
+    return jnp.sum(g, axis=1) + ip_offset

@@ -298,6 +298,29 @@ def padded_to_csr(P: PaddedCsr) -> smat.csr_matrix:
     )
 
 
+def get_sparsified_coo(
+    coo: smat.coo_matrix, selected_rows: np.ndarray, selected_cols: np.ndarray
+) -> smat.coo_matrix:
+    """Zero out entries outside selected rows x selected cols (same shape).
+
+    Reference: smat_util.get_sparsified_coo, used by MLModel.get_submodel.
+    """
+    row_ok = np.zeros(coo.shape[0], bool)
+    row_ok[np.asarray(selected_rows, dtype=np.int64)] = True
+    col_ok = np.zeros(coo.shape[1], bool)
+    col_ok[np.asarray(selected_cols, dtype=np.int64)] = True
+    keep = row_ok[coo.row] & col_ok[coo.col]
+    return smat.coo_matrix(
+        (coo.data[keep], (coo.row[keep], coo.col[keep])), shape=coo.shape
+    )
+
+
+def get_csc_col_nonzero(M: smat.spmatrix):
+    """Per-column sorted nonzero row indices."""
+    M = M.tocsc()
+    return [np.sort(M.indices[M.indptr[c] : M.indptr[c + 1]]) for c in range(M.shape[1])]
+
+
 # ---------------------------------------------------------------------------
 # CSR ensembling — reference smat_util.CsrEnsembler (:814-948)
 # ---------------------------------------------------------------------------

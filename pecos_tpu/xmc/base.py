@@ -331,8 +331,83 @@ class MLModel(pecos_tpu.BaseClass):
         vals = np.where(keep, vals, 0.0)
         return smat_util.csr_from_topk_arrays(idx, vals, self.nr_labels)
 
-    def get_submodel(self, selected_codes=None, selected_labels=None):
-        raise NotImplementedError("get_submodel arrives with the distributed trainer")
+    def predict_on_selected_outputs(
+        self,
+        X,
+        selected_outputs_csr: smat.csr_matrix,
+        csr_codes: Optional[smat.csr_matrix] = None,
+        pred_params: Optional["MLModel.PredParams"] = None,
+        **kwargs,
+    ) -> smat.csr_matrix:
+        """Score only the given (instance, label) pairs (reference
+        xmc/base.py predict_on_selected_outputs / inference.hpp:2508)."""
+        from .inference import score_selected_labels
+
+        pred_params = self.get_pred_params() if pred_params is None else pred_params
+        pred_params.override_with_kwargs(kwargs)
+        pp = PostProcessor.get(pred_params.post_processor)
+        sel = selected_outputs_csr.tocsr()
+        if sel.shape[1] != self.nr_labels:
+            raise ValueError("Label dimension of selected output matrix does not match")
+        N = sel.shape[0]
+        counts = np.diff(sel.indptr)
+        cap = max(8, 1 << max(int(counts.max()) - 1, 0).bit_length()) if N else 8
+        labels = np.full((N, cap), -1, np.int32)
+        rows = np.repeat(np.arange(N), counts)
+        offs = np.arange(sel.nnz) - np.repeat(sel.indptr[:-1], counts)
+        labels[rows, offs] = sel.indices
+        raw = score_selected_labels(self.device_layer, X, self.bias, labels)
+        val = pp.transform_np(raw)
+        if csr_codes is not None:
+            parents = self.C.tocsr().indices
+            codes = csr_codes.tocsr()
+            safe = np.clip(labels, 0, self.nr_labels - 1)
+            prior = np.asarray(
+                codes[np.repeat(np.arange(N), cap), parents[safe].ravel()]
+            ).reshape(N, cap)
+            val = pp.combiner_np(val, prior)
+        val = np.where(labels >= 0, val, 0.0)
+        return smat_util.csr_from_topk_arrays(labels.astype(np.int64), val, self.nr_labels)
+
+    def get_submodel(self, selected_codes=None, selected_labels=None, reindex=False):
+        """Slice/sparsify W and C by code/label connectivity.
+
+        Returns {'model', 'active_codes', 'active_labels'} (reference
+        xmc/base.py:1017-1087).
+        """
+        if selected_codes is None:
+            selected_codes = np.arange(self.nr_codes)
+        elif len(selected_codes) and max(selected_codes) >= self.nr_codes:
+            raise ValueError("selected_codes out of range")
+        if selected_labels is None:
+            selected_labels = np.arange(self.nr_labels)
+        elif len(selected_labels) and max(selected_labels) >= self.nr_labels:
+            raise ValueError("selected_labels out of range")
+        coo = smat_util.get_sparsified_coo(
+            smat.coo_matrix(self.C), selected_labels, selected_codes
+        )
+        active_labels = np.sort(np.unique(coo.row))
+        active_codes = np.sort(np.unique(coo.col))
+        if reindex:
+            row_map = np.arange(coo.shape[0])
+            row_map[active_labels] = np.arange(len(active_labels))
+            col_map = np.arange(coo.shape[1])
+            col_map[active_codes] = np.arange(len(active_codes))
+            new_C = smat.csc_matrix(
+                (coo.data, (row_map[coo.row], col_map[coo.col])),
+                shape=(len(active_labels), len(active_codes)),
+            )
+            new_W = self.W[:, active_labels]
+        else:
+            new_C = coo.tocsc()
+            new_W = smat_util.get_sparsified_coo(
+                smat.coo_matrix(self.W), np.arange(self.W.shape[0]), active_labels
+            ).tocsc()
+        return {
+            "model": MLModel(C=new_C, W=new_W, bias=self.bias, pred_params=self.get_pred_params()),
+            "active_labels": active_labels,
+            "active_codes": active_codes,
+        }
 
 
 class HierarchicalMLModel(pecos_tpu.BaseClass):
@@ -588,6 +663,107 @@ class HierarchicalMLModel(pecos_tpu.BaseClass):
         return self._get_compiled().predict(
             X, beam_size=beam_size, only_topk=only_topk, post_processor=pp_names
         )
+
+    def predict_on_selected_outputs(
+        self,
+        X,
+        selected_outputs_csr: smat.csr_matrix,
+        pred_params: Optional["HierarchicalMLModel.PredParams"] = None,
+        **kwargs,
+    ) -> smat.csr_matrix:
+        """Score only the selected (instance, label) pairs through the whole
+        chain (reference inference.hpp:2508): roll the selected set up the
+        chain, then evaluate level by level passing combined values down."""
+        pred_params = self.get_pred_params() if pred_params is None else pred_params
+        pred_params.override_with_kwargs(kwargs)
+        sel = smat_util.binarized(selected_outputs_csr.tocsr())
+        selected_chain = [sel]
+        for d in range(self.depth - 1, 0, -1):
+            selected_chain.append(smat_util.binarized((selected_chain[-1] @ self.model_chain[d].C).tocsr()))
+        selected_chain.reverse()
+        pred = None
+        for d, model in enumerate(self.model_chain):
+            p = pred_params.model_chain[d]
+            pred = model.predict_on_selected_outputs(
+                X, selected_chain[d], csr_codes=pred, pred_params=copy.deepcopy(p)
+            )
+        return pred
+
+    # -- model surgery (reference xmc/base.py:1796-1901) -----------------------------
+    def set_output_constraint(self, labels_to_keep):
+        """Prune the tree bottom-up to only reach labels_to_keep."""
+        if self.is_predict_only:
+            raise Exception("Model is predict only! set_output_constraint not supported!")
+        keep = np.zeros(self.nr_labels, bool)
+        keep[np.fromiter(labels_to_keep, dtype=np.int64)] = True
+        for model in self.model_chain[::-1]:
+            C = model.C.tocsc(copy=True)
+            if keep.sum() == C.shape[0]:
+                break
+            drop = ~keep[C.indices]
+            C.data[drop] = 0
+            C.eliminate_zeros()
+            model.C = C
+            model._device_layer = None
+            keep = np.diff(C.tocsr().indptr) > 0  # nodes above with surviving children
+            # recompute as column-level liveness for next level up
+            keep = np.asarray((abs(C).sum(axis=0) > 0)).ravel()
+        self._compiled = None
+
+    def get_submodel_rooted_at(self, given_depth: int, child_node_id: int, reindex: bool = False):
+        """Subtree of child_node_id at given_depth as a HierarchicalMLModel."""
+        if self.is_predict_only:
+            raise Exception("Model is predict only! get_submodel_rooted_at not supported!")
+        subtree_chain = []
+        parents = [child_node_id]
+        for d in range(given_depth, self.depth):
+            sub = self.model_chain[d].get_submodel(selected_codes=parents, reindex=reindex)
+            if d == given_depth and not reindex:
+                sub["model"] = MLModel(
+                    C=sub["model"].C[:, parents], W=sub["model"].W,
+                    bias=sub["model"].bias, pred_params=sub["model"].get_pred_params(),
+                )
+            parents = sub["active_labels"]
+            subtree_chain.append(sub["model"])
+        submodel = HierarchicalMLModel(subtree_chain)
+        return submodel, (parents if reindex else None)
+
+    def split_model_at_depth(self, given_depth: int, reindex: bool = False):
+        """Split into a parent model and per-node child subtree models."""
+        if self.is_predict_only:
+            raise Exception("Model is predict only! split_model_at_depth not supported!")
+        if given_depth < 1 or given_depth > self.depth - 1:
+            raise ValueError("given_depth must be in [1, depth-1]")
+        parent_model = self[:given_depth]
+        child_models = []
+        for i in range(self.model_chain[given_depth].nr_codes):
+            child_models.append(self.get_submodel_rooted_at(given_depth, i, reindex))
+        return {"parent_model": parent_model, "child_models": child_models}
+
+    # -- statistics (reference inference.hpp:1387-1463) ------------------------------
+    def get_layer_statistics(self):
+        """Per-layer nnz quartile statistics of W columns and C columns."""
+
+        def quartiles(v):
+            if len(v) == 0:
+                return dict(min=0, q1=0, median=0, q3=0, max=0, mean=0.0)
+            q = np.percentile(v, [0, 25, 50, 75, 100])
+            return dict(
+                min=int(q[0]), q1=int(q[1]), median=int(q[2]), q3=int(q[3]), max=int(q[4]),
+                mean=float(np.mean(v)),
+            )
+
+        stats = []
+        for model in self.model_chain:
+            stats.append(
+                {
+                    "nr_labels": model.nr_labels,
+                    "nr_codes": model.nr_codes,
+                    "w_col_nnz": quartiles(np.diff(model.W.tocsc().indptr)),
+                    "c_col_nnz": quartiles(np.diff(model.C.tocsc().indptr)),
+                }
+            )
+        return stats
 
     def _predict_layer_loop(
         self,

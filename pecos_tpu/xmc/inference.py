@@ -348,6 +348,32 @@ class CompiledHierModel:
         return smat_util.csr_from_topk_arrays(labels, vals, self.nr_labels)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _score_selected_jit(X, layer, cand):
+    return score_candidates(X, layer, cand)
+
+
+def score_selected_labels(
+    layer: DeviceLayer, X, bias: float, labels_padded: np.ndarray, batch_size: int = 1024
+) -> np.ndarray:
+    """Raw scores x . w_l for explicit padded (N, cap) label ids (-1 = pad)."""
+    Xd = prepare_queries(X, bias)
+    N = Xd.shape[0]
+    out = []
+    batch = min(batch_size, max(1, 1 << max(N - 1, 0).bit_length())) if N else 1
+    for s in range(0, N, batch):
+        xb = Xd[s : s + batch]
+        lb = labels_padded[s : s + batch]
+        pad = batch - xb.shape[0]
+        if pad:
+            xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
+            lb = np.vstack([lb, np.full((pad, lb.shape[1]), -1, np.int32)])
+        cand = jnp.clip(jnp.asarray(lb), 0, layer.nr_labels - 1)
+        raw = np.asarray(jax.device_get(_score_selected_jit(jnp.asarray(xb), layer, cand)))
+        out.append(raw[: raw.shape[0] - pad] if pad else raw)
+    return np.vstack(out) if out else np.zeros((0, labels_padded.shape[1]), np.float32)
+
+
 # ---------------------------------------------------------------------------
 # single-layer predict (MLModel.predict / csr_codes path)
 # ---------------------------------------------------------------------------

@@ -184,6 +184,19 @@ class XLinearModel(pecos_tpu.BaseClass):
             **kwargs,
         )
 
+    def predict_on_selected_outputs(self, X, selected_outputs_csr, **kwargs):
+        return self.model.predict_on_selected_outputs(X, selected_outputs_csr, **kwargs)
+
+    def set_output_constraint(self, labels_to_keep):
+        """Prune the tree to only output the given labels (reference :289)."""
+        self.model.set_output_constraint(labels_to_keep)
+
+    def get_submodel_rooted_at(self, given_depth, child_node_id, reindex=False):
+        return self.model.get_submodel_rooted_at(given_depth, child_node_id, reindex)
+
+    def split_model_at_depth(self, given_depth, reindex=False):
+        return self.model.split_model_at_depth(given_depth, reindex)
+
     def get_pred_params(self) -> "XLinearModel.PredParams":
         return self.PredParams(hlm_args=self.model.get_pred_params())
 

@@ -74,3 +74,37 @@ def test_degree_caps():
     # no self-loops at level 0
     for i in range(200):
         assert i not in set(model.neighbors0[i][model.neighbors0[i] >= 0].tolist())
+
+
+def test_pq4_recall_with_rerank():
+    from pecos_tpu.ann.hnsw.model import HNSWProductQuantizer4Bits
+
+    X, Q = _data(n=300, nq=30, d=32, seed=5)
+    model = HNSWProductQuantizer4Bits.train(
+        X,
+        train_params={
+            "hnsw_params": {"M": 16, "efC": 60, "metric_type": "l2", "max_level_upper_bound": 3},
+            "num_subspaces": 16,
+            "kmeans_iters": 8,
+        },
+    )
+    true_ids = _exact_topk(X, Q, 10, "l2")
+    ids, dists = model.predict(Q, efS=80, topk=10, num_rerank=60)
+    rec = _recall(ids, true_ids)
+    assert rec >= 0.9, f"pq4 recall={rec}"
+    assert (np.diff(dists, axis=1) >= -1e-5).all()
+
+
+def test_pq4_save_load(tmp_path):
+    from pecos_tpu.ann.hnsw.model import HNSWProductQuantizer4Bits
+
+    X, Q = _data(n=120, nq=5, d=16, seed=6)
+    model = HNSWProductQuantizer4Bits.train(
+        X, train_params={"hnsw_params": {"M": 8, "efC": 40}, "num_subspaces": 8}
+    )
+    folder = str(tmp_path / "pq4")
+    model.save(folder)
+    loaded = HNSWProductQuantizer4Bits.load(folder)
+    i1, d1 = model.predict(Q, efS=30, topk=5)
+    i2, d2 = loaded.predict(Q, efS=30, topk=5)
+    np.testing.assert_array_equal(i1, i2)
