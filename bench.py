@@ -46,13 +46,13 @@ def build_synthetic_model(L=2**19, D=2**18, nnz_per_label=64, nr_splits=16, seed
         else:
             ids = rng.integers(0, Db, size=(n_labels, nnz_per_label), dtype=np.int32)
             vals = (rng.standard_normal((n_labels, nnz_per_label)) * 0.05).astype(np.float32)
+            packed = np.concatenate([ids, vals.view(np.int32)], axis=1)
             layers.append(
                 DeviceLayer(
                     "plabel",
                     n_labels,
                     jnp.asarray(children),
-                    feat_ids=jnp.asarray(ids),
-                    feat_vals=jnp.asarray(vals),
+                    packed=jnp.asarray(packed),
                 )
             )
         n_parents = n_labels

