@@ -410,6 +410,52 @@ class MLModel(pecos_tpu.BaseClass):
         }
 
 
+class PredictOnlyHierModel(pecos_tpu.BaseClass):
+    """Predict-only model over the compiled device layout.
+
+    The analog of the reference's C++ predict-only/mmap mode
+    (is_predict_only=True loads, xmc/base.py:1356-1360): fastest load path,
+    prediction only — mutation/surgery raise, like the reference.
+    """
+
+    def __init__(self, compiled: CompiledHierModel):
+        self._compiled = compiled
+        self.is_predict_only = True
+
+    @property
+    def depth(self):
+        return self._compiled.depth
+
+    @property
+    def nr_labels(self):
+        return self._compiled.nr_labels
+
+    @property
+    def nr_features(self):
+        return self._compiled.nr_features
+
+    def get_pred_params(self):
+        return HierarchicalMLModel.PredParams(
+            model_chain=tuple(MLModel.PredParams() for _ in range(self.depth))
+        )
+
+    def predict(self, X, csr_codes=None, pred_params=None, **kwargs):
+        if csr_codes is not None:
+            raise Exception("Model is predict only! csr_codes not supported!")
+        beam_size = kwargs.get("beam_size", 10) or 10
+        only_topk = kwargs.get("only_topk", None) or 20
+        post_processor = kwargs.get("post_processor", None) or "l3-hinge"
+        return self._compiled.predict(
+            X, beam_size=beam_size, only_topk=only_topk, post_processor=post_processor
+        )
+
+    def save(self, folder):
+        raise Exception("Model is predict only! save not supported!")
+
+    def _get_compiled(self):
+        return self._compiled
+
+
 class HierarchicalMLModel(pecos_tpu.BaseClass):
     """Chain of MLModels forming the hierarchical linear model."""
 

@@ -292,6 +292,59 @@ def chain_predict(
     return parents, pvals
 
 
+def save_compiled_layers(layers: Sequence[DeviceLayer], bias: float, nr_features: int, folder: str):
+    """Persist device layouts for fast predict-only loading.
+
+    The TPU analog of the reference's compile_mmap_model (mmap_util.hpp +
+    xmc/base.py:1397-1409): the expensive CSC -> padded-layout conversion
+    happens once at compile time; loading is np.load(mmap_mode='r') of
+    ready-to-upload arrays.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(folder, exist_ok=True)
+    meta = {"bias": bias, "nr_features": nr_features, "layers": []}
+    for d, layer in enumerate(layers):
+        arrays = {"children": np.asarray(layer.children)}
+        if layer.kind == "dense":
+            arrays["W"] = np.asarray(layer.W)
+        else:
+            arrays["packed"] = (
+                np.asarray(layer.packed)
+                if layer.packed is not None
+                else np.concatenate(
+                    [np.asarray(layer.feat_ids), np.asarray(layer.feat_vals).view(np.int32)],
+                    axis=1,
+                )
+            )
+        np.savez(_os.path.join(folder, f"layer_{d}.npz"), **arrays)
+        meta["layers"].append({"kind": layer.kind, "nr_labels": layer.nr_labels})
+    with open(_os.path.join(folder, "compiled.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def load_compiled_layers(folder: str) -> "CompiledHierModel":
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(folder, "compiled.json")) as f:
+        meta = _json.load(f)
+    layers = []
+    for d, lm in enumerate(meta["layers"]):
+        z = np.load(_os.path.join(folder, f"layer_{d}.npz"), mmap_mode="r")
+        children = jnp.asarray(np.asarray(z["children"]))
+        if lm["kind"] == "dense":
+            layers.append(DeviceLayer("dense", lm["nr_labels"], children, W=jnp.asarray(np.asarray(z["W"]))))
+        else:
+            layers.append(
+                DeviceLayer(
+                    "plabel", lm["nr_labels"], children, packed=jnp.asarray(np.asarray(z["packed"]))
+                )
+            )
+    return CompiledHierModel(layers, bias=meta["bias"], nr_features=meta["nr_features"])
+
+
 class CompiledHierModel:
     """Device-resident hierarchical model + cached jitted predictors.
 

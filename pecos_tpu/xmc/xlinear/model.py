@@ -61,10 +61,34 @@ class XLinearModel(pecos_tpu.BaseClass):
 
     @classmethod
     def load(cls, model_folder: str, is_predict_only: bool = False, **kwargs) -> "XLinearModel":
+        compiled_dir = os.path.join(model_folder, "compiled")
+        if is_predict_only and os.path.exists(os.path.join(compiled_dir, "compiled.json")):
+            from pecos_tpu.xmc.base import PredictOnlyHierModel
+            from pecos_tpu.xmc.inference import load_compiled_layers
+
+            return cls(PredictOnlyHierModel(load_compiled_layers(compiled_dir)))
         model = HierarchicalMLModel.load(
             os.path.join(model_folder, "ranker"), is_predict_only, **kwargs
         )
         return cls(model)
+
+    @classmethod
+    def compile_mmap_model(cls, npz_folder: str, mmap_folder: str):
+        """Compile the saved model into the fast predict-only layout
+        (reference xlinear/model.py:137: compile_mmap_model)."""
+        from pecos_tpu.xmc.inference import save_compiled_layers
+
+        model = cls.load(npz_folder)
+        compiled = model.model._get_compiled()
+        os.makedirs(mmap_folder, exist_ok=True)
+        save_compiled_layers(
+            compiled.layers,
+            compiled.bias,
+            compiled.nr_features,
+            os.path.join(mmap_folder, "compiled"),
+        )
+        with open(os.path.join(mmap_folder, "param.json"), "w", encoding="utf-8") as f:
+            f.write(json.dumps(cls.append_meta({}), indent=True))
 
     @staticmethod
     def load_feature_matrix(path: str, dtype=np.float32):

@@ -99,3 +99,43 @@ def test_layer_statistics():
     assert len(stats) == xlm.model.depth
     for st in stats:
         assert st["w_col_nnz"]["max"] >= st["w_col_nnz"]["min"]
+
+
+def test_compile_mmap_model_fast_load(tmp_path):
+    """Compiled predict-only format must reproduce normal predictions
+    (reference idiom: test_xlinear.py:1140 test_mmap)."""
+    X, Y, xlm = _model(seed=7)
+    folder = str(tmp_path / "m")
+    compiled = str(tmp_path / "mc")
+    xlm.save(folder)
+    XLinearModel.compile_mmap_model(folder, compiled)
+    loaded = XLinearModel.load(compiled, is_predict_only=True)
+    P1 = xlm.predict(X, beam_size=4, only_topk=3)
+    P2 = loaded.predict(X, beam_size=4, only_topk=3)
+    assert (P1 != P2).nnz == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        loaded.model.save(str(tmp_path / "nope"))
+
+
+def test_aux_utils():
+    from pecos_tpu.utils.profile_util import MemInfo
+    from pecos_tpu.utils.cli import str2bool
+    from pecos_tpu.utils.parallel_util import run_parallel
+    from pecos_tpu.utils.jax_util import set_seed
+
+    assert "rss" in MemInfo.mem_info()
+    assert str2bool("yes") and not str2bool("0")
+    assert run_parallel(lambda x: x * 2, [1, 2, 3], num_workers=1) == [2, 4, 6]
+    key = set_seed(42)
+    assert key is not None
+
+
+def test_comm_self_test():
+    from pecos_tpu.distributed.diagnostic_tools import run_comm_self_test
+    from pecos_tpu.distributed.diagnostic_tools.comm_check import run_device_collective_probe
+    from pecos_tpu.parallel.comm import DummyComm
+
+    assert run_comm_self_test(DummyComm(), verbose=False) == []
+    assert run_device_collective_probe()
