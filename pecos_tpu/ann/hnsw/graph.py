@@ -79,7 +79,7 @@ def gather_dist(Q: jax.Array, feats: jax.Array, ids: jax.Array, metric: str) -> 
     return qq + xx - 2.0 * dots
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
 def batch_search_level(
     graph: DeviceGraph,
     Q: jax.Array,  # (B, D)
@@ -87,8 +87,15 @@ def batch_search_level(
     *,
     ef: int,
     max_steps: int,
+    expand: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """Best-first beam search over one graph level for a whole query batch.
+
+    ``expand`` best unexpanded candidates are popped per iteration: the
+    sequential pop-one loop of classic HNSW (hnsw.hpp:850-924) is
+    latency-bound on an accelerator, so trading a few extra distance
+    evaluations for ~expand x fewer sequential steps is a large wall-clock
+    win at equal-or-better recall (strictly more nodes are explored).
 
     Returns (ids (B, ef), dists (B, ef)) sorted ascending by distance.
     """
@@ -122,16 +129,27 @@ def batch_search_level(
 
     def body(state):
         ids, dists, expanded, steps = state
-        # pick best unexpanded per query
-        cand_pos = jnp.argmin(jnp.where(expanded, INF, dists), axis=1)  # (B,)
-        cand_id = jnp.take_along_axis(ids, cand_pos[:, None], axis=1)  # (B, 1)
-        has_cand = jnp.take_along_axis(
-            jnp.logical_not(expanded), cand_pos[:, None], axis=1
+        # pop the `expand` best unexpanded candidates per query
+        masked = jnp.where(expanded, INF, dists)
+        neg_top, cand_pos = jax.lax.top_k(-masked, expand)  # (B, expand)
+        has_cand = -neg_top < INF * 0.5
+        cand_id = jnp.take_along_axis(ids, cand_pos, axis=1)  # (B, expand)
+        # mark expanded via scatter
+        expanded = expanded.at[jnp.arange(B)[:, None], cand_pos].set(True)
+        # gather neighbors of all popped candidates
+        nbrs = graph.neighbors[
+            jnp.clip(cand_id, 0, graph.neighbors.shape[0] - 1)
+        ].reshape(B, expand * M)
+        nbrs = jnp.where(has_cand.repeat(M, axis=1), nbrs, -1)
+        # dedup within the popped set (same neighbor from two candidates)
+        first = jnp.argsort(jnp.where(nbrs < 0, jnp.int32(2**30), nbrs), axis=1)
+        srt = jnp.take_along_axis(nbrs, first, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
         )
-        expanded = expanded.at[jnp.arange(B), cand_pos].set(True)
-        # gather neighbors of the candidate
-        nbrs = graph.neighbors[jnp.clip(cand_id[:, 0], 0, graph.neighbors.shape[0] - 1)]
-        nbrs = jnp.where(has_cand, nbrs, -1)  # (B, M)
+        inv = jnp.argsort(first, axis=1)
+        dup_self = jnp.take_along_axis(dup_sorted, inv, axis=1)
+        nbrs = jnp.where(dup_self, -1, nbrs)
         nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
         # dedup: mask out neighbors already present in beam
         dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
@@ -247,6 +265,49 @@ def batch_greedy_descent(
         cond, body, (entry, cur_d, jnp.ones((B,), bool), jnp.int32(0))
     )
     return cur
+
+
+@functools.partial(jax.jit, static_argnames=("M",))
+def batch_select_neighbors(
+    cand_ids: jax.Array,  # (B, E) candidate ids sorted by distance asc (-1 pad)
+    cand_dists: jax.Array,  # (B, E)
+    cross: jax.Array,  # (B, E, E) pairwise distances among candidates
+    *,
+    M: int,
+) -> jax.Array:
+    """HNSW Alg. 4 select-neighbors for a whole batch in lockstep.
+
+    The greedy scan over sorted candidates is sequential per point, but every
+    point in the batch advances together: step i checks, per lane, whether
+    candidate i is closer to the query than to all already-selected neighbors.
+    Returns (B, M) selected ids (-1 padded).
+    """
+    B, E = cand_ids.shape
+    INF_ = jnp.float32(3.4e38)
+
+    def body(i, state):
+        sel_mask, count = state  # (B, E) bool, (B,)
+        # min distance from candidate i to already-selected candidates
+        di = jnp.where(sel_mask, cross[:, i, :], INF_)  # (B, E)
+        min_sel = jnp.min(di, axis=1)
+        ok = (
+            (cand_ids[:, i] >= 0)
+            & (cand_dists[:, i] < INF_ * 0.5)
+            & (min_sel >= cand_dists[:, i])
+            & (count < M)
+        )
+        sel_mask = sel_mask.at[:, i].set(ok)
+        return sel_mask, count + ok.astype(jnp.int32)
+
+    sel_mask, _ = jax.lax.fori_loop(
+        0, E, body, (jnp.zeros((B, E), bool), jnp.zeros((B,), jnp.int32))
+    )
+    # compact selected ids to the left, pad with -1
+    order = jnp.argsort(jnp.where(sel_mask, jnp.arange(E)[None, :], E), axis=1)[:, :M]
+    picked = jnp.take_along_axis(
+        jnp.where(sel_mask, cand_ids, -1), order, axis=1
+    )
+    return picked
 
 
 def select_neighbors_heuristic(

@@ -30,6 +30,7 @@ from .graph import (
     DeviceGraph,
     batch_greedy_descent,
     batch_search_level,
+    batch_select_neighbors,
     pairwise_dist,
 )
 
@@ -114,21 +115,24 @@ class HNSW(pecos_tpu.BaseClass):
         feats_d = jnp.asarray(feats)
         metric = params.metric_type
 
-        def search_frozen(q_idx: np.ndarray, level_arrays, n_frozen: int):
+        # Device mirrors of the FULL-SIZE padded graph arrays.  Shapes never
+        # change across insertion batches (unfrozen nodes simply have no
+        # incoming edges yet), so every search compiles exactly once per
+        # query-batch bucket; host-side edits sync as row scatters.
+        dev_n0 = jnp.asarray(neighbors0)
+        dev_up = [jnp.asarray(uppers[l]) for l in range(max_level)]
+
+        def search_frozen(q_idx: np.ndarray, entry_: int):
             """Search the frozen graph for batch points; returns (B, efC) ids."""
-            Q = feats_d[q_idx]
+            Q = feats_d[jnp.asarray(q_idx)]
             B = len(q_idx)
-            cur = np.full(B, entry, np.int32)
-            cur_d = None
-            # greedy descent through upper levels
+            cur = jnp.full((B,), entry_, jnp.int32)
             for l in range(max_level, 0, -1):
-                g = DeviceGraph(feats_d, jnp.asarray(level_arrays[l - 1][:n_frozen]), metric)
-                cur = np.asarray(
-                    batch_greedy_descent(g, Q, jnp.asarray(cur), max_steps=64)
-                )
-            g0 = DeviceGraph(feats_d, jnp.asarray(neighbors0[:n_frozen]), metric)
+                g = DeviceGraph(feats_d, dev_up[l - 1], metric)
+                cur = batch_greedy_descent(g, Q, cur, max_steps=64)
+            g0 = DeviceGraph(feats_d, dev_n0, metric)
             ids, dists = batch_search_level(
-                g0, Q, jnp.asarray(cur)[:, None], ef=params.efC, max_steps=4 * params.efC
+                g0, Q, cur[:, None], ef=params.efC, max_steps=4 * params.efC
             )
             return np.asarray(ids), np.asarray(dists)
 
@@ -147,42 +151,41 @@ class HNSW(pecos_tpu.BaseClass):
             out[: len(keep)] = keep
             return out
 
-        # growing insertion batches
+        # growing insertion batches, padded to power-of-two buckets so each
+        # bucket size compiles once
         inserted = 1  # point 0 is the initial graph
         bs = 32
         while inserted < N:
             batch = np.arange(inserted, min(inserted + bs, N))
-            ids, dists = search_frozen(batch, uppers, inserted)
-            # candidate cross distances for the select heuristic, batched on device
-            cand_feats = feats_d[jnp.clip(jnp.asarray(ids), 0, N - 1)]  # (B, efC, D)
+            bucket = max(32, 1 << (len(batch) - 1).bit_length())
+            q_idx = np.concatenate([batch, np.zeros(bucket - len(batch), np.int64)])
+            ids_d, dists_d = search_frozen(q_idx, entry)
+            # Alg.4 select-neighbors for the whole batch on device
+            cand_feats = feats_d[jnp.clip(jnp.asarray(ids_d), 0, N - 1)]
             cross = jax.vmap(lambda F: pairwise_dist(F, F, metric))(cand_feats)
-            cross = np.asarray(cross)
-            ids_np, dists_np = ids, dists
+            sel_all = np.asarray(
+                batch_select_neighbors(
+                    jnp.asarray(ids_d), jnp.asarray(dists_d), cross, M=M
+                )
+            )[: len(batch)]
+            changed0: set = set()
+            changed_up = [set() for _ in range(max_level)]
             for bi, p in enumerate(batch):
-                cand = ids_np[bi]
-                cd = dists_np[bi]
-                # select-neighbors heuristic (Alg. 4)
-                selected = []
-                for i in range(len(cand)):
-                    if cand[i] < 0 or not np.isfinite(cd[i]):
-                        continue
-                    if all(cross[bi, i, j] >= cd[i] for j in selected):
-                        selected.append(i)
-                        if len(selected) >= M:
-                            break
-                sel = cand[selected].astype(np.int32)
+                sel = sel_all[bi]
+                sel = sel[sel >= 0].astype(np.int32)
                 # connect at every level up to the point's level
                 for l in range(min(int(levels[p]), max_level) + 1):
                     if l == 0:
-                        arr, cap = neighbors0, maxM0
+                        arr, cap, changed = neighbors0, maxM0, changed0
                     else:
-                        arr, cap = uppers[l - 1], maxM
+                        arr, cap, changed = uppers[l - 1], maxM, changed_up[l - 1]
                     if l > 0:
                         lv = sel[levels[sel] >= l]
                     else:
                         lv = sel
                     lv = lv[:cap]
                     arr[p, : len(lv)] = lv
+                    changed.add(int(p))
                     # reverse edges with simple prune on overflow
                     for n in lv:
                         row = arr[n]
@@ -192,8 +195,19 @@ class HNSW(pecos_tpu.BaseClass):
                         else:
                             cand_rev = np.concatenate([row, [p]]).astype(np.int32)
                             arr[n] = prune_to_closest(cand_rev, n, cap)[:cap]
+                        changed.add(int(n))
                 if levels[p] > levels[entry]:
                     entry = int(p)
+            # sync changed rows to the device mirrors (incremental scatter)
+            if changed0:
+                rows = np.fromiter(changed0, np.int32)
+                dev_n0 = dev_n0.at[jnp.asarray(rows)].set(jnp.asarray(neighbors0[rows]))
+            for l in range(max_level):
+                if changed_up[l]:
+                    rows = np.fromiter(changed_up[l], np.int32)
+                    dev_up[l] = dev_up[l].at[jnp.asarray(rows)].set(
+                        jnp.asarray(uppers[l][rows])
+                    )
             inserted = batch[-1] + 1
             bs = min(params.build_batch_size, max(32, inserted))
 

@@ -298,6 +298,34 @@ def padded_to_csr(P: PaddedCsr) -> smat.csr_matrix:
     )
 
 
+def get_cocluster_spectral_embeddings(A: smat.spmatrix, dim: int = 24):
+    """Bipartite spectral co-clustering embeddings (Dhillon 2001).
+
+    Reference: smat_util.py:740 — used as an alternative label-embedding
+    source.  Returns (row_embedding (m, dim), col_embedding (n, dim)) from the
+    top singular vectors of D1^{-1/2} A D2^{-1/2}.
+    """
+    from scipy.sparse.linalg import svds
+
+    A = A.tocsr().astype(np.float64)
+    d1 = np.asarray(abs(A).sum(axis=1)).ravel()
+    d2 = np.asarray(abs(A).sum(axis=0)).ravel()
+    d1[d1 == 0] = 1.0
+    d2[d2 == 0] = 1.0
+    D1 = smat.diags(1.0 / np.sqrt(d1))
+    D2 = smat.diags(1.0 / np.sqrt(d2))
+    An = D1 @ A @ D2
+    k = min(dim + 1, min(An.shape) - 1)
+    U, s, Vt = svds(An, k=k)
+    order = np.argsort(-s)
+    U, Vt = U[:, order], Vt[order]
+    # drop the trivial leading vector
+    U, Vt = U[:, 1 : dim + 1], Vt[1 : dim + 1]
+    row_emb = (D1 @ U).astype(np.float32)
+    col_emb = (D2 @ Vt.T).astype(np.float32)
+    return row_emb, col_emb
+
+
 def get_sparsified_coo(
     coo: smat.coo_matrix, selected_rows: np.ndarray, selected_cols: np.ndarray
 ) -> smat.coo_matrix:

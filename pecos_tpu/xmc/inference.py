@@ -465,7 +465,10 @@ class CompiledHierModel:
         else:
             Xd = prepare_queries(X, self.bias)
             fn = self._predictor(beam_size, only_topk, pp_names, batch)
-        out_idx, out_val = [], []
+        # two-phase pipeline: dispatch every batch asynchronously, then fetch.
+        # Device dispatch is async, so compute/transfer of batch i overlaps the
+        # host padding work and round-trip latency of batch i+1.
+        pending = []
         for s in range(0, N, batch):
             if sparse_input:
                 ib = ids_all[s : s + batch]
@@ -483,6 +486,9 @@ class CompiledHierModel:
                 if pad:
                     xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
                 labels, vals = fn(jnp.asarray(xb), self.layers)
+            pending.append((labels, vals, pad))
+        out_idx, out_val = [], []
+        for labels, vals, pad in pending:
             labels = np.asarray(jax.device_get(labels))
             vals = np.asarray(jax.device_get(vals))
             if pad:

@@ -76,3 +76,18 @@ def test_save_load_roundtrip(tmp_path):
     smat_util.save_matrix(p2, X)
     Y = smat_util.load_matrix(p2)
     np.testing.assert_array_equal(X, Y)
+
+
+def test_cocluster_spectral_embeddings():
+    rng = np.random.default_rng(0)
+    # two block communities
+    A = np.zeros((40, 30), np.float32)
+    A[:20, :15] = rng.uniform(0.5, 1.0, (20, 15))
+    A[20:, 15:] = rng.uniform(0.5, 1.0, (20, 15))
+    A += rng.uniform(0, 0.05, A.shape)
+    re, ce = smat_util.get_cocluster_spectral_embeddings(smat.csr_matrix(A), dim=2)
+    assert re.shape == (40, 2) and ce.shape == (30, 2)
+    # first dimension separates the two row blocks
+    s0 = np.sign(re[:20, 0]).mean()
+    s1 = np.sign(re[20:, 0]).mean()
+    assert abs(s0 - s1) > 1.5, (s0, s1)
