@@ -111,9 +111,16 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         train_params=None,
         pred_params=None,
         parent_matcher: Optional["TransformerMatcher"] = None,
+        mesh=None,
         **kwargs,
     ) -> Tuple["TransformerMatcher", smat.csr_matrix, np.ndarray]:
-        """Fine-tune one level; returns (matcher, trn_pred, trn_embeddings)."""
+        """Fine-tune one level; returns (matcher, trn_pred, trn_embeddings).
+
+        ``mesh``: optional jax Mesh with a "dp" axis — batches are sharded
+        over it and XLA runs fully data-parallel fine-tuning with replicated
+        params (the TPU replacement for the reference's DeepSpeed/NCCL
+        distributed encoder training, distributed/xmc/xtransformer).
+        """
         import optax
 
         train_params = cls.TrainParams.from_dict(train_params)
@@ -216,6 +223,19 @@ class TransformerMatcher(pecos_tpu.BaseClass):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"] * mesh.shape.get("lp", 1)
+            B = max(dp, (B // dp) * dp)  # batch divisible by the dp extent
+            axes = ("dp", "lp") if "lp" in mesh.shape else ("dp",)
+            batch_sharding = NamedSharding(mesh, P(axes))
+
+        def to_dev(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, batch_sharding) if batch_sharding is not None else a
+
         key = jax.random.PRNGKey(train_params.seed)
         step = 0
         order = np.arange(N)
@@ -225,13 +245,15 @@ class TransformerMatcher(pecos_tpu.BaseClass):
             for s in range(0, N - B + 1, B) if N >= B else [0]:
                 idx = order[s : s + B]
                 if len(idx) < B:  # static shapes: wrap-around pad
-                    idx = np.concatenate([idx, order[: B - len(idx)]])
+                    idx = np.concatenate(
+                        [idx, np.resize(order, B - len(idx))]
+                    )
                 batch = {
-                    "input_ids": jnp.asarray(toks["input_ids"][idx]),
-                    "attention_mask": jnp.asarray(toks["attention_mask"][idx]),
-                    "label_ids": jnp.asarray(label_ids[idx]),
-                    "targets": jnp.asarray(targets[idx]),
-                    "costs": jnp.asarray(costs[idx]),
+                    "input_ids": to_dev(toks["input_ids"][idx]),
+                    "attention_mask": to_dev(toks["attention_mask"][idx]),
+                    "label_ids": to_dev(label_ids[idx]),
+                    "targets": to_dev(targets[idx]),
+                    "costs": to_dev(costs[idx]),
                 }
                 key, sub = jax.random.split(key)
                 params, opt_state, loss = train_step(params, opt_state, batch, sub)

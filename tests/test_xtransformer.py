@@ -118,3 +118,21 @@ def test_xtransformer_three_phase(tiny_setup, tmp_path):
     loaded = XTransformer.load(folder)
     P2 = loaded.predict(corpus, X_feat=X_feat, only_topk=2)
     assert (P != P2).nnz == 0
+
+
+def test_dist_fine_tune_dp_mesh(tiny_setup):
+    """Data-parallel matcher fine-tune over the virtual 8-device mesh
+    (DeepSpeed-analog path, distributed/xmc/xtransformer)."""
+    from pecos_tpu.distributed.xmc.xtransformer import dist_fine_tune
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y)
+    matcher, trn_pred, trn_emb = dist_fine_tune(
+        prob, train_params=_train_params(model_config, epochs=8)
+    )
+    import numpy as np
+
+    top1 = np.asarray(trn_pred.argmax(axis=1)).ravel()
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    assert (top1 == truth).mean() > 0.7
