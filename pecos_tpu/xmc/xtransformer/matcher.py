@@ -329,6 +329,25 @@ class TransformerMatcher(pecos_tpu.BaseClass):
 
         return copy.deepcopy(self.pred_params)
 
+    @staticmethod
+    def ensemble_prediction(
+        transformer_pred_csr, concat_pred_csr, only_topk: int, ens_method: str
+    ):
+        """Micro-ensemble of transformer and concat-ranker predictions
+        (reference matcher.py:535-579)."""
+        if transformer_pred_csr.shape != concat_pred_csr.shape:
+            raise ValueError("transformer/concat prediction shapes differ")
+        if ens_method == "concat-only":
+            out = concat_pred_csr
+        elif ens_method == "transformer-only":
+            out = transformer_pred_csr
+        elif ens_method in ("average", "rank_average", "sigmoid_average", "softmax_average", "round_robin"):
+            fn = getattr(smat_util.CsrEnsembler, ens_method.replace("-", "_"))
+            out = fn(transformer_pred_csr.tocsr(), concat_pred_csr.tocsr())
+        else:
+            raise ValueError(f"unknown ens_method {ens_method!r}")
+        return smat_util.sorted_csr(out.tocsr(), only_topk=only_topk)
+
     # ------------------------------------------------------------------ persist
     def save(self, folder: str):
         os.makedirs(folder, exist_ok=True)

@@ -161,13 +161,36 @@ class XTransformer(pecos_tpu.BaseClass):
         self,
         corpus: Sequence[str],
         X_feat: Optional[smat.spmatrix] = None,
+        ens_method: str = "concat-only",
         **kwargs,
     ) -> smat.csr_matrix:
+        """ens_method: concat-only (default) | transformer-only | average |
+        rank_average | sigmoid_average | softmax_average | round_robin —
+        micro-ensembles the encoder's own scores with the concat ranker when
+        both cover the full label space (reference matcher.py:535)."""
         if self.concat_model is None:
             P, _ = self.text_encoder.predict(corpus, **kwargs)
             return P
-        X_cat = self._concat_features(corpus, X_feat)
-        return self.concat_model.predict(X_cat, **kwargs)
+        if ens_method == "concat-only":
+            X_cat = self._concat_features(corpus, X_feat)
+            return self.concat_model.predict(X_cat, **kwargs)
+        tfm_pred, emb = self.text_encoder.predict(
+            corpus, only_topk=kwargs.get("only_topk", 20)
+        )
+        if tfm_pred.shape[1] != self.concat_model.nr_labels:
+            raise ValueError(
+                "transformer ensemble requires the matcher's last level to cover "
+                f"the full label space ({tfm_pred.shape[1]} vs {self.concat_model.nr_labels})"
+            )
+        emb_norm = smat_util.normalize(emb, axis=1, norm="l2")
+        if X_feat is not None:
+            X_cat = smat_util.hstack_csr([X_feat, smat.csr_matrix(emb_norm)])
+        else:
+            X_cat = smat.csr_matrix(emb_norm)
+        concat_pred = self.concat_model.predict(X_cat, **kwargs)
+        return TransformerMatcher.ensemble_prediction(
+            tfm_pred, concat_pred, kwargs.get("only_topk", 20), ens_method
+        )
 
     # ------------------------------------------------------------------ persist
     def save(self, folder: str):

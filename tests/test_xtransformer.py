@@ -136,3 +136,25 @@ def test_dist_fine_tune_dp_mesh(tiny_setup):
     top1 = np.asarray(trn_pred.argmax(axis=1)).ravel()
     truth = np.asarray(Y.argmax(axis=1)).ravel()
     assert (top1 == truth).mean() > 0.7
+
+
+def test_ensemble_prediction_modes(tiny_setup):
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, XTransformer
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y, X_feat=X_feat)
+    xtf = XTransformer.train(
+        prob,
+        train_params=XTransformer.TrainParams(
+            matcher_params_chain=_train_params(model_config, epochs=4),
+            preliminary_indexer_params={"max_leaf_size": 2, "nr_splits": 2},
+            refined_indexer_params={"max_leaf_size": 2, "nr_splits": 2},
+        ),
+        threshold=0.0,
+    )
+    import numpy as np
+
+    for m in ("concat-only", "transformer-only", "average", "rank_average"):
+        P = xtf.predict(corpus[:16], X_feat=X_feat[:16], ens_method=m, only_topk=3)
+        assert P.shape == (16, Y.shape[1]), m
+        assert P.nnz > 0, m
