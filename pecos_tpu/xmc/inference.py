@@ -410,15 +410,14 @@ class CompiledHierModel:
                 # densify only when a dense-layout layer needs it
                 X = scatter_queries(ids, vals, D, bias) if has_dense else None
                 if has_plabel:
-                    # append the bias feature as one extra sparse entry
+                    # append the bias feature in a 128-wide padded block so the
+                    # query capacity stays lane-aligned (cap+1 would be ragged)
                     B = ids.shape[0]
                     if bias > 0:
-                        qi = jnp.concatenate(
-                            [ids, jnp.full((B, 1), D, jnp.int32)], axis=1
-                        )
-                        qv = jnp.concatenate(
-                            [vals, jnp.full((B, 1), bias, jnp.float32)], axis=1
-                        )
+                        extra_i = jnp.full((B, 128), D + 1, jnp.int32).at[:, 0].set(D)
+                        extra_v = jnp.zeros((B, 128), jnp.float32).at[:, 0].set(bias)
+                        qi = jnp.concatenate([ids, extra_i], axis=1)
+                        qv = jnp.concatenate([vals, extra_v], axis=1)
                     else:
                         qi, qv = ids, vals
                 else:
