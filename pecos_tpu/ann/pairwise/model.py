@@ -18,8 +18,6 @@ import dataclasses as dc
 import functools
 import json
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ import os
 import pickle
 from typing import List, Optional, Sequence
 
-import numpy as np
 import scipy.sparse as smat
 
 import pecos_tpu

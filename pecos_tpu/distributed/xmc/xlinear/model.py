@@ -21,7 +21,6 @@ import scipy.sparse as smat
 import pecos_tpu
 from pecos_tpu.parallel.comm import DistComm
 from pecos_tpu.utils import smat_util
-from pecos_tpu.utils.cluster_util import ClusterChain
 from pecos_tpu.xmc import HierarchicalMLModel, MLModel, MLProblem
 from pecos_tpu.xmc.xlinear import XLinearModel
 from ..base import DistClusterChain, DistClustering

@@ -20,7 +20,7 @@ import json
 import os
 import re
 from collections import Counter
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import numpy as np
 import scipy.sparse as smat

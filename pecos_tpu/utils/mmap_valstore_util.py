@@ -8,7 +8,7 @@ pecos/core/utils/mmap_valstore.hpp; here over pecos_tpu/core/mmap_store.cpp.
 from __future__ import annotations
 
 import ctypes
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -22,7 +22,7 @@ import dataclasses as dc
 import json
 import logging
 import os
-from typing import Any, List, Optional, Sequence, Tuple, Union
+from typing import Any, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -246,6 +246,12 @@ class MLModel(pecos_tpu.BaseClass):
             c = active * np.where(y > 0, train_params.Cp * pos_cost, train_params.Cn).astype(
                 np.float32
             )
+            if Lb < block:
+                # pad the trailing partial block so every layer reuses ONE
+                # compiled solver shape (zero-cost labels solve to w=0)
+                pad = block - Lb
+                y = np.hstack([y, np.ones((N, pad), np.float32)])
+                c = np.hstack([c, np.zeros((N, pad), np.float32)])
             Wb = solvers.solve_block(
                 X_dev,
                 jnp.asarray(y),
@@ -255,7 +261,7 @@ class MLModel(pecos_tpu.BaseClass):
                 max_newton=train_params.max_newton_iter,
                 cg_max=train_params.cg_max_iter,
             )
-            Wb = np.array(jax.device_get(Wb))  # (Db, Lb) writable copy
+            Wb = np.array(jax.device_get(Wb))[:, :Lb]  # (Db, Lb) writable copy
             # prune: threshold + max nonzeros per label (linear_solver.hpp:718-778)
             Wb[np.abs(Wb) < train_params.threshold] = 0.0
             if max_nnz < Db:

@@ -43,19 +43,26 @@ LOGGER = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "n_iter", "spherical"))
+@functools.partial(jax.jit, static_argnames=("n_nodes_max", "n_iter", "spherical"))
 def _level_split(
     feats: jax.Array,  # (L, D) float32
-    codes: jax.Array,  # (L,) int32 node id in [0, n_nodes)
+    codes: jax.Array,  # (L,) int32 node id in [0, n_nodes_max)
     key: jax.Array,
     sample_rate: jax.Array,  # scalar float in (0, 1]
     *,
-    n_nodes: int,
+    n_nodes_max: int,
     n_iter: int,
     spherical: bool,
 ) -> jax.Array:
-    """Split every node into two balanced halves; returns codes at next level."""
+    """Split every node into two balanced halves; returns codes at next level.
+
+    ``n_nodes_max`` is the segment-space capacity (2^(depth-1) for the whole
+    tree): early levels simply leave most segments empty, so ONE compiled
+    kernel serves every level — remote compiles through the TPU tunnel cost
+    30-240 s each, and per-level shapes would pay that depth times.
+    """
     L = feats.shape[0]
+    n_nodes = n_nodes_max
     k_init, k_sample = jax.random.split(key)
 
     counts_node = jax.ops.segment_sum(jnp.ones((L,), jnp.float32), codes, num_segments=n_nodes)
@@ -113,6 +120,7 @@ def hierarchical_balanced_kmeans(
     feats_d = jnp.asarray(feats, dtype=jnp.float32)
     codes = jnp.zeros((feats.shape[0],), dtype=jnp.int32)
     key = jax.random.PRNGKey(seed)
+    n_nodes_max = 2 ** max(depth - 1, 0)
     for d in range(depth):
         key, sub = jax.random.split(key)
         rate = 1.0 if sample_rates is None else float(sample_rates[d])
@@ -121,7 +129,7 @@ def hierarchical_balanced_kmeans(
             codes,
             sub,
             jnp.float32(rate),
-            n_nodes=2**d,
+            n_nodes_max=n_nodes_max,
             n_iter=max_iter,
             spherical=spherical,
         )

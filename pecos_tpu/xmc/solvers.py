@@ -27,8 +27,6 @@ solving on the gathered subproblem.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -26,7 +26,7 @@ import scipy.sparse as smat
 import pecos_tpu
 from pecos_tpu.utils import smat_util
 from pecos_tpu.utils.cluster_util import ClusterChain
-from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory, HierarchicalMLModel
+from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory
 from pecos_tpu.xmc.xlinear import XLinearModel
 from .matcher import TransformerMatcher
 from .module import MLProblemWithText

@@ -12,7 +12,7 @@ padding label (= nr_labels) carries zero cost.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import scipy.sparse as smat
