@@ -116,6 +116,7 @@ class MLModel(pecos_tpu.BaseClass):
         # TPU extras
         max_newton_iter: int = 20
         cg_max_iter: int = 10
+        solver_mode: str = "auto"  # auto | dense | bucketed
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -217,6 +218,14 @@ class MLModel(pecos_tpu.BaseClass):
         L = Y.shape[1]
         bias = train_params.bias
 
+        mode = train_params.solver_mode
+        if mode == "auto":
+            # masked-dense pays O(N*L) per layer and needs dense X on device;
+            # switch to per-cluster gathering when either blows up
+            mode = "dense" if (N * L <= (1 << 28) and N * (D + 1) <= (1 << 28)) else "bucketed"
+        if mode == "bucketed":
+            return cls._train_bucketed(prob, train_params, pred_params, loss)
+
         Xd = np.asarray(X.todense(), dtype=np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
         if bias > 0:
             Xd = np.hstack([Xd, np.full((N, 1), bias, dtype=np.float32)])
@@ -275,6 +284,140 @@ class MLModel(pecos_tpu.BaseClass):
                         col[~mask] = 0.0
             W_cols.append(smat.csc_matrix(Wb))
         W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
+        return cls(W=W, C=C, bias=bias, pred_params=pred_params)
+
+    @classmethod
+    def _train_bucketed(cls, prob: MLProblem, train_params, pred_params, loss) -> "MLModel":
+        """Scalable per-cluster training: gather each cluster's active
+        instances and feature union, solve buckets of same-shape clusters with
+        one vmapped Newton-CG each (solvers.solve_cluster_bucket)."""
+        X = prob.X.tocsr() if smat.issparse(prob.X) else smat.csr_matrix(prob.X)
+        Y_csc, C, M_csc = prob.Y.tocsc(), prob.C.tocsc(), prob.M.tocsc()
+        R_csc = prob.R.tocsc() if prob.R is not None else None
+        N, D = X.shape
+        L = Y_csc.shape[1]
+        K = C.shape[1]
+        bias = train_params.bias
+        Db = D + (1 if bias > 0 else 0)
+        max_nnz = train_params.max_nonzeros_per_label or Db
+
+        def pow2(v, lo=8):
+            return max(lo, 1 << max(int(v) - 1, 0).bit_length())
+
+        # cluster -> children labels
+        children = [C.indices[C.indptr[k] : C.indptr[k + 1]] for k in range(K)]
+        ns_max = max((len(ch) for ch in children), default=1)
+
+        # ---- host gathering per cluster ------------------------------------
+        jobs = []  # (k, A, F, xl_ids, xl_vals, y, cost)
+        for k in range(K):
+            ch = children[k]
+            if len(ch) == 0:
+                continue
+            A = M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]]
+            pos_rows = np.unique(
+                np.concatenate(
+                    [Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]] for l in ch]
+                )
+            ) if len(ch) else np.zeros(0, np.int64)
+            A = np.union1d(A, pos_rows).astype(np.int64)
+            if A.size == 0:
+                continue
+            Xa = X[A]
+            F = np.unique(Xa.indices)
+            if bias > 0:
+                F = np.union1d(F, [D])
+            # local sparse rows
+            nnz = np.diff(Xa.indptr)
+            xcap = int(nnz.max()) + (1 if bias > 0 else 0) if A.size else 1
+            P = len(A)
+            xl_ids = np.full((P, xcap), len(F), np.int32)  # pad -> F2 slot later
+            xl_vals = np.zeros((P, xcap), np.float32)
+            rows = np.repeat(np.arange(P), nnz)
+            offs = np.arange(Xa.nnz) - np.repeat(Xa.indptr[:-1], nnz)
+            xl_ids[rows, offs] = np.searchsorted(F, Xa.indices).astype(np.int32)
+            xl_vals[rows, offs] = Xa.data
+            if bias > 0:
+                xl_ids[np.arange(P), nnz] = np.searchsorted(F, D)
+                xl_vals[np.arange(P), nnz] = bias
+            # labels
+            y = -np.ones((P, ns_max), np.float32)
+            cost = np.zeros((P, ns_max), np.float32)
+            in_M = np.isin(A, M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]])
+            for j, l in enumerate(ch):
+                pos = Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]]
+                is_pos = np.isin(A, pos)
+                y[is_pos, j] = 1.0
+                active = in_M | is_pos
+                if R_csc is not None:
+                    rvals = np.zeros(N, np.float32)
+                    sl = slice(Y_csc.indptr[l], Y_csc.indptr[l + 1])
+                    rvals[Y_csc.indices[sl]] = R_csc.data[sl]
+                    pc = rvals[A]
+                else:
+                    pc = 1.0
+                cost[:, j] = np.where(
+                    y[:, j] > 0, train_params.Cp * pc, train_params.Cn
+                ) * active
+            jobs.append((k, A, F, xl_ids, xl_vals, y, cost))
+
+        # ---- bucket by padded shapes ---------------------------------------
+        buckets: dict = {}
+        for job in jobs:
+            _, A, F, xl_ids, xl_vals, y, cost = job
+            key = (pow2(len(A)), pow2(len(F), lo=128), pow2(xl_ids.shape[1]))
+            buckets.setdefault(key, []).append(job)
+
+        W_rows: List[np.ndarray] = []
+        W_cols: List[np.ndarray] = []
+        W_vals: List[np.ndarray] = []
+        for (P2, F2, xc2), bjobs in buckets.items():
+            # device chunk size bounded by local-dense memory P2*F2*Cb
+            cb = max(1, (1 << 24) // (P2 * F2))
+            for s in range(0, len(bjobs), cb):
+                chunk = bjobs[s : s + cb]
+                Cb = len(chunk)
+                ids = np.full((Cb, P2, xc2), F2, np.int32)
+                vals = np.zeros((Cb, P2, xc2), np.float32)
+                yb = np.ones((Cb, P2, ns_max), np.float32)
+                cb_ = np.zeros((Cb, P2, ns_max), np.float32)
+                for i, (_, A, F, xi, xv, yy, cc) in enumerate(chunk):
+                    P, xc = xi.shape
+                    ids[i, :P, :xc] = np.where(xi == len(F), F2, xi)
+                    vals[i, :P, :xc] = xv
+                    yb[i, :P] = yy
+                    cb_[i, :P] = cc
+                Wl = solvers.solve_cluster_bucket(
+                    jnp.asarray(ids),
+                    jnp.asarray(vals),
+                    jnp.asarray(yb),
+                    jnp.asarray(cb_),
+                    F2=F2,
+                    loss=loss,
+                    eps=train_params.newton_eps,
+                    max_newton=train_params.max_newton_iter,
+                    cg_max=train_params.cg_max_iter,
+                )
+                Wl = np.array(jax.device_get(Wl))  # (Cb, F2, ns_max)
+                for i, (k, A, F, xi, xv, yy, cc) in enumerate(chunk):
+                    ch = children[k]
+                    for j, l in enumerate(ch):
+                        w = Wl[i, : len(F), j]
+                        w = np.where(np.abs(w) < train_params.threshold, 0.0, w)
+                        nz = np.nonzero(w)[0]
+                        if len(nz) > max_nnz:
+                            keep = nz[np.argsort(-np.abs(w[nz]))[:max_nnz]]
+                            mask = np.zeros(len(w), bool)
+                            mask[keep] = True
+                            w = np.where(mask, w, 0.0)
+                            nz = keep
+                        W_rows.append(F[nz])
+                        W_cols.append(np.full(len(nz), l, np.int64))
+                        W_vals.append(w[nz].astype(np.float32))
+        rows = np.concatenate(W_rows) if W_rows else np.zeros(0, np.int64)
+        cols = np.concatenate(W_cols) if W_cols else np.zeros(0, np.int64)
+        vals = np.concatenate(W_vals) if W_vals else np.zeros(0, np.float32)
+        W = smat.csc_matrix((vals, (rows, cols)), shape=(Db, L))
         return cls(W=W, C=C, bias=bias, pred_params=pred_params)
 
     # -- prediction ---------------------------------------------------------------

@@ -52,6 +52,12 @@ def solve_block(
     cg_max: int = 10,
 ) -> jax.Array:
     """Solve the block of per-label primal problems; returns W (D, Lb)."""
+    return _solve_core(X, y, c, loss=loss, eps=eps, max_newton=max_newton, cg_max=cg_max)
+
+
+def _solve_core(X, y, c, *, loss, eps, max_newton, cg_max):
+    """Traceable (non-jit) Newton-CG body, reused by solve_block and the
+    per-cluster bucketed solver (vmapped there)."""
     N, D = X.shape
     Lb = y.shape[1]
     f32 = jnp.float32
@@ -162,6 +168,46 @@ def solve_block(
         cond, body, (jnp.int32(0), W0, m0, jnp.zeros((Lb,), bool))
     )
     return W
+
+
+@functools.partial(
+    jax.jit, static_argnames=("F2", "loss", "eps", "max_newton", "cg_max")
+)
+def solve_cluster_bucket(
+    x_ids: jax.Array,  # (Cb, P, xcap) int32 LOCAL feature ids, pad id = F2
+    x_vals: jax.Array,  # (Cb, P, xcap) float32, 0 where padded
+    y: jax.Array,  # (Cb, P, ns) float32 +-1
+    c: jax.Array,  # (Cb, P, ns) float32 cost, 0 inactive/padded
+    *,
+    F2: int,
+    loss: str = "sqhinge",
+    eps: float = 0.01,
+    max_newton: int = 20,
+    cg_max: int = 10,
+) -> jax.Array:
+    """Per-cluster training in each cluster's LOCAL feature subspace.
+
+    The scalable counterpart of solve_block: instead of masking an (N x L)
+    problem, each cluster's active instances are gathered (P rows) and its
+    weights restricted to the features those instances touch (F2 columns) —
+    sound because gradient components outside the active feature union carry
+    only the regularizer, so their optimum is exactly 0.  This is the
+    reference's per-cluster SVMJob gathering (linear_solver.hpp:637-711)
+    recast as one vmapped dense Newton-CG per bucket of same-shape clusters;
+    local dense X is scattered from padded sparse rows on device.
+
+    Returns W_local (Cb, F2, ns).
+    """
+    Cb, P, xcap = x_ids.shape
+
+    def one(xi, xv, yy, cc):
+        rows = jnp.arange(P, dtype=jnp.int32)[:, None]
+        X = jnp.zeros((P, F2 + 1), jnp.float32).at[rows, xi].add(xv)[:, :F2]
+        return _solve_core(
+            X, yy, cc, loss=loss, eps=eps, max_newton=max_newton, cg_max=cg_max
+        )
+
+    return jax.vmap(one)(x_ids, x_vals, y, c)
 
 
 def loss_name(solver_type: str) -> str:

@@ -153,3 +153,39 @@ def test_postprocessor_registry():
     pp = PostProcessor.get("l3-hinge")
     v = np.array([-1.0, 0.5, 2.0])
     np.testing.assert_allclose(pp.transform_np(v), np.exp(-np.maximum(1 - v, 0) ** 3))
+
+
+def test_bucketed_solver_matches_dense():
+    """Cluster-bucketed solver must reproduce the masked-dense solutions
+    (same convex problems, gathered instead of masked)."""
+    X, Y = _toy_problem(n=120, d=10, L=8, seed=9)
+    C = smat.csc_matrix(
+        (np.ones(8, np.float32), (np.arange(8), np.repeat(np.arange(4), 2))), shape=(8, 4)
+    )
+    tp_dense = MLModel.TrainParams(threshold=0.0, solver_mode="dense", newton_eps=1e-3, max_newton_iter=40)
+    tp_buck = MLModel.TrainParams(threshold=0.0, solver_mode="bucketed", newton_eps=1e-3, max_newton_iter=40)
+    m_dense = MLModel.train(MLProblem(X, Y, C=C), train_params=tp_dense)
+    m_buck = MLModel.train(MLProblem(X, Y, C=C), train_params=tp_buck)
+    Wd = np.asarray(m_dense.W.todense())
+    Wb = np.asarray(m_buck.W.todense())
+    np.testing.assert_allclose(Wb, Wd, rtol=5e-3, atol=5e-3)
+    Pd = m_dense.predict(X, only_topk=2)
+    Pb = m_buck.predict(X, only_topk=2)
+    np.testing.assert_allclose(
+        np.asarray(Pb.todense()), np.asarray(Pd.todense()), rtol=1e-2, atol=1e-3
+    )
+
+
+def test_bucketed_solver_with_relevance():
+    X, Y = _toy_problem(n=60, d=8, L=4, seed=10)
+    R = Y.copy().tocsc() * 1.5
+    C = smat.csc_matrix(
+        (np.ones(4, np.float32), (np.arange(4), np.repeat(np.arange(2), 2))), shape=(4, 2)
+    )
+    tp1 = MLModel.TrainParams(threshold=0.0, solver_mode="bucketed", Cp=1.5, newton_eps=1e-4, max_newton_iter=50)
+    tp2 = MLModel.TrainParams(threshold=0.0, solver_mode="bucketed", Cp=1.0, newton_eps=1e-4, max_newton_iter=50)
+    m1 = MLModel.train(MLProblem(X, Y, C=C), train_params=tp1)
+    m2 = MLModel.train(MLProblem(X, Y, C=C, R=R), train_params=tp2)
+    np.testing.assert_allclose(
+        np.asarray(m1.W.todense()), np.asarray(m2.W.todense()), rtol=1e-3, atol=1e-3
+    )
