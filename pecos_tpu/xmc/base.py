@@ -286,6 +286,30 @@ class MLModel(pecos_tpu.BaseClass):
         W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
         return cls(W=W, C=C, bias=bias, pred_params=pred_params)
 
+    @staticmethod
+    def _labels_for_cluster(A, ch, k, Y_csc, M_csc, R_csc, N, train_params, ns):
+        """Per-cluster (P, ns) targets and costs (linear_solver.hpp:667-711
+        semantics: M rows negative, Y rows positive, cost = (Cp|Cn)*relevance,
+        pairs outside the active union carry zero cost)."""
+        P = len(A)
+        y = -np.ones((P, ns), np.float32)
+        cost = np.zeros((P, ns), np.float32)
+        in_M = np.isin(A, M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]])
+        for j, l in enumerate(ch):
+            pos = Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]]
+            is_pos = np.isin(A, pos)
+            y[is_pos, j] = 1.0
+            active = in_M | is_pos
+            if R_csc is not None:
+                rvals = np.zeros(N, np.float32)
+                sl = slice(Y_csc.indptr[l], Y_csc.indptr[l + 1])
+                rvals[Y_csc.indices[sl]] = R_csc.data[sl]
+                pc = rvals[A]
+            else:
+                pc = 1.0
+            cost[:, j] = np.where(y[:, j] > 0, train_params.Cp * pc, train_params.Cn) * active
+        return y, cost
+
     @classmethod
     def _train_bucketed(cls, prob: MLProblem, train_params, pred_params, loss) -> "MLModel":
         """Scalable per-cluster training: gather each cluster's active
@@ -309,7 +333,8 @@ class MLModel(pecos_tpu.BaseClass):
         ns_max = max((len(ch) for ch in children), default=1)
 
         # ---- host gathering per cluster ------------------------------------
-        jobs = []  # (k, A, F, xl_ids, xl_vals, y, cost)
+        jobs = []  # local-subspace jobs: (k, A, F, xl_ids, xl_vals, y, cost)
+        big_jobs = []  # global sparse-rows jobs: (k, A, x_ids, x_vals, y, cost)
         for k in range(K):
             ch = children[k]
             if len(ch) == 0:
@@ -324,6 +349,32 @@ class MLModel(pecos_tpu.BaseClass):
             if A.size == 0:
                 continue
             Xa = X[A]
+
+            def pw2(v, lo=8):
+                return max(lo, 1 << max(int(v) - 1, 0).bit_length())
+
+            # local-dense layout infeasible for huge clusters (top layers:
+            # every instance active, feature union ~ everything) -> global
+            # sparse-rows solver
+            F_est = min(Xa.nnz + 1, Db)
+            if pw2(len(A)) * pw2(F_est, lo=128) > (1 << 27):
+                nnz = np.diff(Xa.indptr)
+                xcap = int(nnz.max()) + (1 if bias > 0 else 0) if A.size else 1
+                P = len(A)
+                gx_ids = np.full((P, xcap), Db, np.int32)
+                gx_vals = np.zeros((P, xcap), np.float32)
+                rows = np.repeat(np.arange(P), nnz)
+                offs = np.arange(Xa.nnz) - np.repeat(Xa.indptr[:-1], nnz)
+                gx_ids[rows, offs] = Xa.indices
+                gx_vals[rows, offs] = Xa.data
+                if bias > 0:
+                    gx_ids[np.arange(P), nnz] = D
+                    gx_vals[np.arange(P), nnz] = bias
+                y, cost = cls._labels_for_cluster(
+                    A, ch, k, Y_csc, M_csc, R_csc, N, train_params, len(ch)
+                )
+                big_jobs.append((k, A, gx_ids, gx_vals, y, cost))
+                continue
             F = np.unique(Xa.indices)
             if bias > 0:
                 F = np.union1d(F, [D])
@@ -340,25 +391,9 @@ class MLModel(pecos_tpu.BaseClass):
             if bias > 0:
                 xl_ids[np.arange(P), nnz] = np.searchsorted(F, D)
                 xl_vals[np.arange(P), nnz] = bias
-            # labels
-            y = -np.ones((P, ns_max), np.float32)
-            cost = np.zeros((P, ns_max), np.float32)
-            in_M = np.isin(A, M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]])
-            for j, l in enumerate(ch):
-                pos = Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]]
-                is_pos = np.isin(A, pos)
-                y[is_pos, j] = 1.0
-                active = in_M | is_pos
-                if R_csc is not None:
-                    rvals = np.zeros(N, np.float32)
-                    sl = slice(Y_csc.indptr[l], Y_csc.indptr[l + 1])
-                    rvals[Y_csc.indices[sl]] = R_csc.data[sl]
-                    pc = rvals[A]
-                else:
-                    pc = 1.0
-                cost[:, j] = np.where(
-                    y[:, j] > 0, train_params.Cp * pc, train_params.Cn
-                ) * active
+            y, cost = cls._labels_for_cluster(
+                A, ch, k, Y_csc, M_csc, R_csc, N, train_params, ns_max
+            )
             jobs.append((k, A, F, xl_ids, xl_vals, y, cost))
 
         # ---- bucket by padded shapes ---------------------------------------
@@ -414,6 +449,43 @@ class MLModel(pecos_tpu.BaseClass):
                         W_rows.append(F[nz])
                         W_cols.append(np.full(len(nz), l, np.int64))
                         W_vals.append(w[nz].astype(np.float32))
+        # ---- huge clusters: global sparse-rows solver -----------------------
+        for k, A, gx_ids, gx_vals, y, cost in big_jobs:
+            ch = children[k]
+            P, xc = gx_ids.shape
+            P2 = pow2(P)
+            xc2 = pow2(xc)
+            ids = np.full((P2, xc2), Db, np.int32)
+            vals_ = np.zeros((P2, xc2), np.float32)
+            ids[:P, :xc] = gx_ids
+            vals_[:P, :xc] = gx_vals
+            yb = np.ones((P2, len(ch)), np.float32)
+            cb_ = np.zeros((P2, len(ch)), np.float32)
+            yb[:P] = y
+            cb_[:P] = cost
+            Wg = solvers.solve_sparse_rows(
+                jnp.asarray(ids),
+                jnp.asarray(vals_),
+                jnp.asarray(yb),
+                jnp.asarray(cb_),
+                Db=Db,
+                loss=loss,
+                eps=train_params.newton_eps,
+                max_newton=train_params.max_newton_iter,
+                cg_max=train_params.cg_max_iter,
+            )
+            Wg = np.array(jax.device_get(Wg))  # (Db, ns)
+            for j, l in enumerate(ch):
+                w = Wg[:, j]
+                w = np.where(np.abs(w) < train_params.threshold, 0.0, w)
+                nz = np.nonzero(w)[0]
+                if len(nz) > max_nnz:
+                    keep = nz[np.argsort(-np.abs(w[nz]))[:max_nnz]]
+                    nz = np.sort(keep)
+                W_rows.append(nz)
+                W_cols.append(np.full(len(nz), l, np.int64))
+                W_vals.append(w[nz].astype(np.float32))
+
         rows = np.concatenate(W_rows) if W_rows else np.zeros(0, np.int64)
         cols = np.concatenate(W_cols) if W_cols else np.zeros(0, np.int64)
         vals = np.concatenate(W_vals) if W_vals else np.zeros(0, np.float32)

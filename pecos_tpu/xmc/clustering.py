@@ -153,6 +153,30 @@ def sample_schedule(depth: int, do_sample: bool, min_rate: float, max_rate: floa
     return np.clip(rates, 0.0, 1.0)
 
 
+def random_project(feat_mat, proj_dim: int, seed: int = 0, block: int = 65536) -> np.ndarray:
+    """Seeded gaussian sketch of (possibly sparse) features to proj_dim dims.
+
+    Computed blockwise over the feature axis so the dense projection matrix
+    never exceeds (block, proj_dim); rows are L2-normalized afterwards so
+    spherical k-means sees the same geometry scale.
+    """
+    L, D = feat_mat.shape
+    out = np.zeros((L, proj_dim), np.float32)
+    rng = np.random.default_rng(seed)
+    A = feat_mat.tocsc() if smat.issparse(feat_mat) else np.asarray(feat_mat, np.float32)
+    scale = 1.0 / np.sqrt(proj_dim)
+    for s in range(0, D, block):
+        e = min(s + block, D)
+        R = (rng.standard_normal((e - s, proj_dim)) * scale).astype(np.float32)
+        if smat.issparse(A):
+            out += np.asarray((A[:, s:e] @ R), np.float32)
+        else:
+            out += A[:, s:e] @ R
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
 # ---------------------------------------------------------------------------
 # HierarchicalKMeans / Indexer (reference pecos/xmc/base.py:39-238)
 # ---------------------------------------------------------------------------
@@ -166,6 +190,12 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
         nr_splits: int = 16
         min_codes: Optional[int] = None
         max_leaf_size: int = 100
+        # TPU extra: label features with more dims than this are sketched with
+        # a seeded gaussian random projection before clustering (cosine
+        # geometry approximately preserved; the batched k-means then runs on a
+        # dense (L, proj_dim) matrix regardless of the raw feature width)
+        max_cluster_feature_dim: int = 100_000
+        proj_dim: int = 512
         imbalanced_ratio: float = 0.0
         imbalanced_depth: int = 100
         spherical: bool = True
@@ -201,7 +231,13 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
         depth = max(1, int(math.ceil(math.log2(nr_labels / params.max_leaf_size))))
         if 2**depth > nr_labels:
             depth = int(math.floor(math.log2(nr_labels)))
-        if smat.issparse(feat_mat):
+        D = feat_mat.shape[1]
+        if D > params.max_cluster_feature_dim:
+            LOGGER.info(
+                f"projecting label features {D} -> {params.proj_dim} dims for clustering"
+            )
+            feats = random_project(feat_mat, params.proj_dim, seed=params.seed)
+        elif smat.issparse(feat_mat):
             feats = np.asarray(feat_mat.todense(), dtype=np.float32)
         else:
             feats = np.asarray(feat_mat, dtype=np.float32)

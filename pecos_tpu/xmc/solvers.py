@@ -210,6 +210,135 @@ def solve_cluster_bucket(
     return jax.vmap(one)(x_ids, x_vals, y, c)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("Db", "loss", "eps", "max_newton", "cg_max")
+)
+def solve_sparse_rows(
+    x_ids: jax.Array,  # (P, xcap) int32 GLOBAL feature ids, pad id = Db
+    x_vals: jax.Array,  # (P, xcap) float32, 0 where padded
+    y: jax.Array,  # (P, ns)
+    c: jax.Array,  # (P, ns)
+    *,
+    Db: int,
+    loss: str = "sqhinge",
+    eps: float = 0.01,
+    max_newton: int = 20,
+    cg_max: int = 10,
+) -> jax.Array:
+    """Newton-CG with X kept as padded sparse rows in the GLOBAL feature space.
+
+    For huge-active-set clusters (top tree layers: every instance active,
+    feature union = everything) neither the masked-dense nor the local-dense
+    bucketed layout fits in HBM.  Here the two hot contractions become
+    - margins  X @ W  : gather  W[x_ids] . x_vals
+    - grads    X^T' G : scatter-add x_vals * G into W-shaped zeros
+    Both are O(nnz(X) * ns); W stays dense (Db, ns) which is small because ns
+    is the per-cluster child count.
+    """
+    P, xcap = x_ids.shape
+    ns = y.shape[1]
+    f32 = jnp.float32
+    rows = jnp.arange(P, dtype=jnp.int32)[:, None]
+
+    def margins(W):  # W (Db+1, ns) with a padding row at Db
+        Wg = W[x_ids]  # (P, xcap, ns)
+        return jnp.einsum("pxn,px->pn", Wg, x_vals, preferred_element_type=f32)
+
+    def xt_apply(G):  # (P, ns) -> (Db+1, ns)
+        contrib = x_vals[:, :, None] * G[:, None, :]  # (P, xcap, ns)
+        out = jnp.zeros((Db + 1, ns), f32)
+        return out.at[x_ids].add(contrib)
+
+    def obj(m):
+        ym = y * m
+        if loss == "sqhinge":
+            xi = jnp.maximum(1.0 - ym, 0.0) ** 2
+        else:
+            xi = jnp.log1p(jnp.exp(-jnp.abs(ym))) + jnp.maximum(-ym, 0.0)
+        return jnp.sum(c * xi, axis=0)
+
+    def grad_vec(W, m):
+        ym = y * m
+        if loss == "sqhinge":
+            dxi = -2.0 * y * jnp.maximum(1.0 - ym, 0.0)
+        else:
+            dxi = -y * jax.nn.sigmoid(-ym)
+        g = W + xt_apply(c * dxi)
+        return g.at[Db].set(0.0)  # padding row carries nothing
+
+    def hess_weights(m):
+        ym = y * m
+        if loss == "sqhinge":
+            return 2.0 * c * (ym < 1.0).astype(f32)
+        s = jax.nn.sigmoid(ym)
+        return c * s * (1.0 - s)
+
+    def cg(h, g, active):
+        def hv(v):
+            out = v + xt_apply(h * margins(v))
+            return out.at[Db].set(0.0)
+
+        d0 = jnp.zeros_like(g)
+        r0 = -g
+        p0 = r0
+        rs0 = jnp.sum(r0 * r0, axis=0)
+        tol2 = 1e-8 * rs0
+
+        def body(i, carry):
+            d, r, p, rs = carry
+            Hp = hv(p)
+            pHp = jnp.sum(p * Hp, axis=0)
+            live = (rs > tol2) & active
+            alpha = jnp.where(live, rs / jnp.maximum(pHp, 1e-30), 0.0)
+            d = d + alpha[None, :] * p
+            r = r - alpha[None, :] * Hp
+            rs_n = jnp.sum(r * r, axis=0)
+            beta = jnp.where(live, rs_n / jnp.maximum(rs, 1e-30), 0.0)
+            p = r + beta[None, :] * p
+            return d, r, p, rs_n
+
+        d, _, _, _ = jax.lax.fori_loop(0, cg_max, body, (d0, r0, p0, rs0))
+        return d
+
+    W0 = jnp.zeros((Db + 1, ns), f32)
+    m0 = jnp.zeros((P, ns), f32)
+    gnorm0 = jnp.linalg.norm(grad_vec(W0, m0), axis=0)
+    steps = 0.5 ** jnp.arange(_LS_STEPS, dtype=f32)
+
+    def cond(carry):
+        it, W, m, done = carry
+        return (it < max_newton) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        it, W, m, done = carry
+        g = grad_vec(W, m)
+        gnorm = jnp.linalg.norm(g, axis=0)
+        active = jnp.logical_not(done)
+        h = hess_weights(m)
+        d = cg(h, g, active)
+        Xd = margins(d)
+        gTd = jnp.sum(g * d, axis=0)
+        f0 = 0.5 * jnp.sum(W * W, axis=0) + obj(m)
+
+        def f_at(step):
+            return 0.5 * jnp.sum((W + step * d) ** 2, axis=0) + obj(m + step * Xd)
+
+        fs = jax.vmap(f_at)(steps)
+        armijo = fs <= f0[None, :] + 0.01 * steps[:, None] * gTd[None, :]
+        first = jnp.argmax(armijo, axis=0)
+        any_ok = jnp.any(armijo, axis=0)
+        step = jnp.where(any_ok & active, steps[first], 0.0)
+        W = W + step[None, :] * d
+        m = m + step[None, :] * Xd
+        done = done | (gnorm <= eps * jnp.maximum(gnorm0, 1e-12))
+        return it + 1, W, m, done
+
+    _, W, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), W0, m0, jnp.zeros((ns,), bool))
+    )
+    return W[:Db]
+
+
 def loss_name(solver_type: str) -> str:
     st = solver_type.upper()
     if st in (SOLVER_SQHINGE, SOLVER_SQHINGE_DUAL, "L2R_L1LOSS_SVC_DUAL"):

@@ -100,3 +100,36 @@ def test_padded_children_table():
     assert table[0].tolist() == [0, 1, 2]
     assert table[1].tolist() == [3, 4, -1]
     assert table[2].tolist() == [5, -1, -1]
+
+
+def test_random_projection_clustering():
+    """Huge-D label features get sketched before clustering; blob structure
+    must survive the projection."""
+    from pecos_tpu.xmc.clustering import random_project
+
+    rng = np.random.default_rng(3)
+    D = 5000
+    # two communities: shared community base vector + per-member sparse noise
+    base_a = smat.random(1, 2 * D, density=0.01, random_state=rng, format="csr", dtype=np.float32)
+    base_b = smat.random(1, 2 * D, density=0.01, random_state=rng, format="csr", dtype=np.float32)
+    members = []
+    for base in (base_a, base_b):
+        for _ in range(32):
+            noise = smat.random(1, 2 * D, density=0.002, random_state=rng, format="csr", dtype=np.float32)
+            members.append((base * 3.0 + noise).tocsr())
+    feats = smat.vstack(members, format="csr")
+    proj = random_project(feats, 64, seed=0)
+    assert proj.shape == (64, 64)
+    chain = HierarchicalKMeans.gen(
+        feats, max_leaf_size=16, nr_splits=2, max_cluster_feature_dim=1000, proj_dim=64
+    )
+    top = chain[1].tocsr().indices  # node at level 1 per level-2 node... use leaf codes
+    # check the level-1 split separates the two communities via leaf rollup
+    leaf = chain[-1].tocsr().indices  # parent per label at the leaf level
+    M = chain[-1]
+    for d in range(len(chain) - 2, 0, -1):
+        M = (M @ chain[d]).tocsr()
+    top_assign = M.tocsr().indices  # level-1 node per label
+    assert len(set(top_assign[:32])) == 1
+    assert len(set(top_assign[32:])) == 1
+    assert top_assign[0] != top_assign[-1]

@@ -155,3 +155,17 @@ def test_plabel_layout_sparse_consistency(trained):
         rtol=2e-4,
         atol=2e-5,
     )
+
+
+def test_realtime_single_query(trained):
+    """batch=1 realtime path: same result as the same query inside a batch."""
+    X, Y, xlm = trained
+    P_batch = xlm.predict(X[:16], beam_size=6, only_topk=4)
+    P_single = xlm.predict(X[:1], beam_size=6, only_topk=4)
+    # same labels; values may differ in the last ulp (different XLA tilings)
+    np.testing.assert_array_equal(
+        np.sort(P_batch[:1].indices), np.sort(P_single.indices)
+    )
+    np.testing.assert_allclose(
+        np.asarray(P_batch[:1].todense()), np.asarray(P_single.todense()), rtol=1e-5, atol=1e-6
+    )
