@@ -397,6 +397,8 @@ class MLModel(pecos_tpu.BaseClass):
             jobs.append((k, A, F, xl_ids, xl_vals, y, cost))
 
         # ---- bucket by padded shapes ---------------------------------------
+        # (4x-coarser quantization was measured: no device-time win, more
+        # host padding cost — pow2 kept)
         buckets: dict = {}
         for job in jobs:
             _, A, F, xl_ids, xl_vals, y, cost = job
