@@ -1,9 +1,12 @@
 """Native (C++) runtime components: mmap stores, fast host-side paths.
 
 The shared library auto-builds on first import when missing, mirroring the
-reference's self-rebuild (pecos/core/base.py:499-524).
+reference's self-rebuild (pecos/core/base.py:499-524). Staleness is decided
+by a content hash of the sources stored next to the .so (mtimes are not
+preserved by git checkouts, so they cannot be trusted).
 """
 
+import hashlib
 import logging
 import os
 import subprocess
@@ -12,16 +15,30 @@ LOGGER = logging.getLogger(__name__)
 
 _CORE_DIR = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_CORE_DIR, "libpecos_tpu_core.so")
-_SRC = os.path.join(_CORE_DIR, "mmap_store.cpp")
+_HASH_PATH = _SO_PATH + ".srchash"
+_SOURCES = [
+    os.path.join(_CORE_DIR, "mmap_store.cpp"),
+    os.path.join(_CORE_DIR, "tokenizer.cpp"),
+]
+_SOURCES = [s for s in _SOURCES if os.path.exists(s)]
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for src in _SOURCES:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def build_core(force: bool = False) -> str:
-    """Compile the native core if the .so is missing or stale."""
-    if (
-        force
-        or not os.path.exists(_SO_PATH)
-        or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC)
-    ):
+    """Compile the native core if the .so is missing or its source hash changed."""
+    want = _source_hash()
+    have = None
+    if os.path.exists(_HASH_PATH):
+        with open(_HASH_PATH) as f:
+            have = f.read().strip()
+    if force or not os.path.exists(_SO_PATH) or have != want:
         cmd = [
             "g++",
             "-shared",
@@ -29,10 +46,12 @@ def build_core(force: bool = False) -> str:
             "-O3",
             "-std=c++17",
             "-fopenmp",
-            _SRC,
+            *_SOURCES,
             "-o",
             _SO_PATH,
         ]
         LOGGER.info("building native core: %s", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(_HASH_PATH, "w") as f:
+            f.write(want)
     return _SO_PATH

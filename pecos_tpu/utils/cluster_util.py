@@ -58,7 +58,7 @@ class ClusterChain(object):
         if not isinstance(other, ClusterChain) or len(self) != len(other):
             return False
         return all(
-            (A != B).nnz == 0 and A.shape == B.shape for A, B in zip(self.chain, other.chain)
+            A.shape == B.shape and (A != B).nnz == 0 for A, B in zip(self.chain, other.chain)
         )
 
     @property

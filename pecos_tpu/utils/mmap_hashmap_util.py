@@ -79,12 +79,12 @@ class MmapHashmap(object):
                 ptr = self._lib.mhm_i2i_load(path.encode(), lazy)
                 if not ptr:
                     raise IOError(f"cannot load int2int map from {path}")
-                self.map = _I2I(self._lib, ptr)
+                self.map = _I2I(self._lib, ptr, writable=False)
             else:
                 ptr = self._lib.mhm_s2i_load(path.encode(), lazy)
                 if not ptr:
                     raise IOError(f"cannot load str2int map from {path}")
-                self.map = _S2I(self._lib, ptr)
+                self.map = _S2I(self._lib, ptr, writable=False)
         else:
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
@@ -99,12 +99,15 @@ class MmapHashmap(object):
 
 
 class _I2I:
-    def __init__(self, lib, ptr):
+    def __init__(self, lib, ptr, writable=True):
         self._lib = lib
         self._ptr = ptr
         self.path = None
+        self.writable = writable
 
     def insert(self, key: int, val: int):
+        if not self.writable:
+            raise RuntimeError("map opened read-only; insert requires mode='w'")
         self._lib.mhm_i2i_insert(self._ptr, key, val)
 
     def get(self, key: int, default: int = -1) -> int:
@@ -130,6 +133,8 @@ class _I2I:
         return self._lib.mhm_i2i_size(self._ptr)
 
     def save(self, path: str):
+        if not self.writable:
+            raise RuntimeError("map opened read-only; save requires mode='w'")
         if self._lib.mhm_i2i_save(self._ptr, path.encode()) != 0:
             raise IOError(f"cannot save map to {path}")
 
@@ -139,12 +144,15 @@ class _I2I:
 
 
 class _S2I:
-    def __init__(self, lib, ptr):
+    def __init__(self, lib, ptr, writable=True):
         self._lib = lib
         self._ptr = ptr
         self.path = None
+        self.writable = writable
 
     def insert(self, key: bytes, val: int):
+        if not self.writable:
+            raise RuntimeError("map opened read-only; insert requires mode='w'")
         key = key.encode() if isinstance(key, str) else key
         self._lib.mhm_s2i_insert(self._ptr, key, len(key), val)
 
@@ -176,6 +184,8 @@ class _S2I:
         return self._lib.mhm_s2i_size(self._ptr)
 
     def save(self, path: str):
+        if not self.writable:
+            raise RuntimeError("map opened read-only; save requires mode='w'")
         if self._lib.mhm_s2i_save(self._ptr, path.encode()) != 0:
             raise IOError(f"cannot save map to {path}")
 

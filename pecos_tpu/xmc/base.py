@@ -974,8 +974,7 @@ class HierarchicalMLModel(pecos_tpu.BaseClass):
             C.eliminate_zeros()
             model.C = C
             model._device_layer = None
-            keep = np.diff(C.tocsr().indptr) > 0  # nodes above with surviving children
-            # recompute as column-level liveness for next level up
+            # column liveness: a parent survives iff any of its children survived
             keep = np.asarray((abs(C).sum(axis=0) > 0)).ravel()
         self._compiled = None
 

@@ -165,13 +165,15 @@ class XLinearModel(pecos_tpu.BaseClass):
                     {0: R}, norm_type=train_params.rel_norm, induce=False
                 )
             else:
-                raise ValueError(f"Wrong value for rel_mode: {train_params.rel_mode}")
+                raise ValueError(
+                    f"rel_mode must be one of disable/induce/ranker-only, got {train_params.rel_mode!r}"
+                )
 
         if train_params.mode == "full-model":
             pass
         elif train_params.mode == "matcher":
             if clustering is None:
-                raise ValueError("Expect non-trivial clustering for matcher mode")
+                raise ValueError("matcher mode needs a clustering with >= 2 levels (got none)")
             for cc in reversed(clustering[-train_params.ranker_level :]):
                 Y = (Y @ cc).tocsc()
             clustering = ClusterChain(clustering[: -train_params.ranker_level])
@@ -179,12 +181,14 @@ class XLinearModel(pecos_tpu.BaseClass):
             relevance_chain = relevance_chain[: -train_params.ranker_level]
         elif train_params.mode == "ranker":
             if clustering is None:
-                raise ValueError("Expect non-trivial clustering for ranker mode")
+                raise ValueError("ranker mode needs a clustering with >= 2 levels (got none)")
             clustering = ClusterChain(clustering[-train_params.ranker_level :])
             matching_chain = matching_chain[-train_params.ranker_level :]
             relevance_chain = relevance_chain[-train_params.ranker_level :]
         else:
-            raise ValueError(f"Wrong value for the mode attribute: {train_params.mode}")
+            raise ValueError(
+                f"mode must be one of full-model/matcher/ranker, got {train_params.mode!r}"
+            )
 
         prob = MLProblem(X, Y, R=R if C is None else None)
         model = HierarchicalMLModel.train(
