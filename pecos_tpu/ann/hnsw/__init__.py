@@ -1,1 +1,1 @@
-from .model import HNSW  # noqa: F401
+from .model import HNSW, HNSWProductQuantizer4Bits  # noqa: F401

@@ -60,7 +60,7 @@ def pairwise_dist(Q: jax.Array, X: jax.Array, metric: str) -> jax.Array:
     l2: squared L2 (monotone in true L2); ip: 1 - <q, x> like the reference's
     inner-product "distance" (feat_vectors.hpp FeatVecDenseIPSimd).
     """
-    dots = jnp.dot(Q, X.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(Q, X.T, preferred_element_type=jnp.float32, precision="highest")
     if metric == "ip":
         return 1.0 - dots
     qq = jnp.sum(Q * Q, axis=1, keepdims=True)
@@ -71,7 +71,7 @@ def pairwise_dist(Q: jax.Array, X: jax.Array, metric: str) -> jax.Array:
 def gather_dist(Q: jax.Array, feats: jax.Array, ids: jax.Array, metric: str) -> jax.Array:
     """Per-query gathered distances: Q (B, D), ids (B, K) -> (B, K)."""
     F = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]  # (B, K, D)
-    dots = jnp.einsum("bkd,bd->bk", F, Q, preferred_element_type=jnp.float32)
+    dots = jnp.einsum("bkd,bd->bk", F, Q, preferred_element_type=jnp.float32, precision="highest")
     if metric == "ip":
         return 1.0 - dots
     qq = jnp.sum(Q * Q, axis=1, keepdims=True)
@@ -308,6 +308,108 @@ def batch_select_neighbors(
         jnp.where(sel_mask, cand_ids, -1), order, axis=1
     )
     return picked
+
+
+@functools.partial(jax.jit, static_argnames=("M", "metric"))
+def batch_select_from_search(
+    feats: jax.Array,  # (N, D)
+    ids: jax.Array,  # (B, E) search results sorted asc by distance
+    dists: jax.Array,  # (B, E)
+    *,
+    M: int,
+    metric: str,
+) -> jax.Array:
+    """Fused cross-distance + Alg-4 select: one device call per batch."""
+    B, E = ids.shape
+    F = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]  # (B, E, D)
+    dots = jnp.einsum("bed,bfd->bef", F, F, preferred_element_type=jnp.float32, precision="highest")
+    if metric == "ip":
+        cross = 1.0 - dots
+    else:
+        nn = jnp.sum(F * F, axis=-1)
+        cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+    return batch_select_neighbors(ids, dists, cross, M=M)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(0,))
+def scatter_prune_rows(
+    neighbors: jax.Array,  # (N, cap) int32 adjacency, -1 padded
+    feats: jax.Array,  # (N, D)
+    rows: jax.Array,  # (A,) int32 affected rows; pad with N (dropped)
+    new_cands: jax.Array,  # (A, K) int32 new candidate ids, -1 padded
+    *,
+    metric: str,
+) -> jax.Array:
+    """Merge new candidates into each affected row, keep the cap closest.
+
+    The batched analog of the reference's reverse-edge update inside
+    mutually_connect (hnsw.hpp:597-672): existing neighbors and new arrivals
+    compete by distance to the row's own feature vector. Deduplicates ids,
+    computes all distances with one batched gather+dot, and scatters the
+    pruned rows back (donated input -> in-place update).
+    """
+    N, cap = neighbors.shape
+    A, K = new_cands.shape
+    safe_rows = jnp.clip(rows, 0, N - 1)
+    existing = neighbors[safe_rows]  # (A, cap)
+    cand = jnp.concatenate([existing, new_cands], axis=1)  # (A, cap+K)
+    # dedup: sort ids, mask repeats, restore order
+    big = jnp.int32(2**30)
+    first = jnp.argsort(jnp.where(cand < 0, big, cand), axis=1)
+    srt = jnp.take_along_axis(cand, first, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((A, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1
+    )
+    inv = jnp.argsort(first, axis=1)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
+    cand = jnp.where(dup, -1, cand)
+    base = feats[safe_rows]  # (A, D)
+    d = gather_dist(base, feats, cand, metric)
+    d = jnp.where(cand >= 0, d, INF)
+    neg, pos = jax.lax.top_k(-d, cap)
+    pruned = jnp.where(-neg < INF * 0.5, jnp.take_along_axis(cand, pos, axis=1), -1)
+    return neighbors.at[rows, :].set(pruned, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(0,))
+def scatter_prune_rows_alg4(
+    neighbors: jax.Array,  # (N, cap)
+    feats: jax.Array,  # (N, D)
+    rows: jax.Array,  # (A,)
+    new_cands: jax.Array,  # (A, K)
+    *,
+    metric: str,
+) -> jax.Array:
+    """Like scatter_prune_rows but prunes with the Alg-4 diversity heuristic
+    (hnsw.hpp:555-592) instead of keep-closest — the reference applies the
+    heuristic on reverse-edge overflow too (mutually_connect)."""
+    N, cap = neighbors.shape
+    A, K = new_cands.shape
+    safe_rows = jnp.clip(rows, 0, N - 1)
+    existing = neighbors[safe_rows]
+    cand = jnp.concatenate([existing, new_cands], axis=1)  # (A, E)
+    big = jnp.int32(2**30)
+    first = jnp.argsort(jnp.where(cand < 0, big, cand), axis=1)
+    srt = jnp.take_along_axis(cand, first, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((A, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1
+    )
+    inv = jnp.argsort(first, axis=1)
+    cand = jnp.where(jnp.take_along_axis(dup_sorted, inv, axis=1), -1, cand)
+    base = feats[safe_rows]
+    d = jnp.where(cand >= 0, gather_dist(base, feats, cand, metric), INF)
+    order = jnp.argsort(d, axis=1)
+    cand = jnp.take_along_axis(cand, order, axis=1)
+    d = jnp.take_along_axis(d, order, axis=1)
+    F = feats[jnp.clip(cand, 0, N - 1)]  # (A, E, D)
+    dots = jnp.einsum("aed,afd->aef", F, F, preferred_element_type=jnp.float32, precision="highest")
+    if metric == "ip":
+        cross = 1.0 - dots
+    else:
+        nn = jnp.sum(F * F, axis=-1)
+        cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+    picked = batch_select_neighbors(cand, d, cross, M=cap)
+    return neighbors.at[rows, :].set(picked, mode="drop")
 
 
 def select_neighbors_heuristic(

@@ -14,6 +14,7 @@ optimization.
 from __future__ import annotations
 
 import dataclasses as dc
+import functools
 import json
 import logging
 import os
@@ -32,9 +33,46 @@ from .graph import (
     batch_search_level,
     batch_select_neighbors,
     pairwise_dist,
+    scatter_prune_rows,
+    scatter_prune_rows_alg4,
 )
 
 LOGGER = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_set_rows(arr, rows, vals):
+    """Replace whole rows in place; out-of-bounds row ids are dropped (pad lanes)."""
+    return arr.at[rows, :].set(vals, mode="drop")
+
+
+def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
+    """Group (src -> dst) edges by destination node.
+
+    Returns a list of (rows, cands) numpy pairs where rows is (A,) unique
+    destinations and cands is (A, k_pad) -1-padded source lists. Nodes
+    receiving more than k_pad new edges get follow-up groups (sequential
+    keep-closest pruning of chunks equals one-shot pruning of the union).
+    """
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    uniq, start, counts = np.unique(dst_s, return_index=True, return_counts=True)
+    rank = np.arange(len(dst_s)) - np.repeat(start, counts)
+    out = []
+    chunk = 0
+    while True:
+        in_chunk = (rank >= chunk * k_pad) & (rank < (chunk + 1) * k_pad)
+        if not in_chunk.any():
+            break
+        sel_mask = counts > chunk * k_pad
+        rows = uniq[sel_mask]
+        cands = np.full((len(rows), k_pad), -1, np.int32)
+        local_row = np.cumsum(sel_mask) - 1  # uniq idx -> position in rows
+        ui = np.repeat(np.arange(len(uniq)), counts)[in_chunk]
+        cands[local_row[ui], rank[in_chunk] - chunk * k_pad] = src_s[in_chunk]
+        out.append((rows.astype(np.int32), cands))
+        chunk += 1
+    return out
 
 
 class HNSW(pecos_tpu.BaseClass):
@@ -49,6 +87,8 @@ class HNSW(pecos_tpu.BaseClass):
         seed: int = 0
         threads: int = -1  # parity only
         build_batch_size: int = 2048
+        refine_iters: int = 1  # graph-repair passes after batched insertion
+        reverse_alg4: bool = False  # Alg-4 (vs keep-closest) reverse-edge prune
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -90,6 +130,28 @@ class HNSW(pecos_tpu.BaseClass):
     # -- train ------------------------------------------------------------------
     @classmethod
     def train(cls, X, train_params=None, pred_params=None, **kwargs) -> "HNSW":
+        """Build the graph with deterministic batched insertion + refinement.
+
+        Phase 1 (insert): points are added in growing batches; each batch
+        searches the frozen graph in one device call, selects forward edges
+        with fused Alg-4 (batch_select_from_search), and merges reverse edges
+        with the batched scatter-prune kernel. All per-edge work that the
+        reference does under per-node mutexes (hnsw.hpp:597-672) happens as a
+        handful of device scatters per batch — there is no per-point Python.
+
+        Phase 2 (refine, refine_iters passes): every node re-searches the
+        finished graph for efC candidates, unions them with its current
+        neighbors, re-selects forward edges with Alg-4, and the level-0
+        adjacency is rebuilt from forward + distance-pruned reverse edges.
+        This repairs the edges batched insertion misses (points inserted in
+        the same batch never see each other) and is what lifts recall to the
+        reference's ~1.0 operating point.
+
+        Every device call uses ONE padded batch shape, so the whole build
+        compiles a fixed handful of kernels regardless of N.
+        """
+        from .graph import batch_select_from_search
+
         params = cls.TrainParams.from_dict(train_params)
         params.override_with_kwargs(kwargs)
         feats = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
@@ -97,6 +159,7 @@ class HNSW(pecos_tpu.BaseClass):
         M = params.M
         maxM = params.max_M or M
         maxM0 = params.max_M0 or 2 * M
+        efC = params.efC
         rng = np.random.default_rng(params.seed)
 
         # geometric level assignment (hnsw.hpp:785-794)
@@ -107,117 +170,137 @@ class HNSW(pecos_tpu.BaseClass):
         )
         levels[0] = levels.max()  # first point anchors the top level
         max_level = int(levels.max())
-
-        neighbors0 = np.full((N, maxM0), -1, np.int32)
-        uppers = np.full((max_level, N, maxM), -1, np.int32)  # level l stored at uppers[l-1]
         entry = 0
-
-        feats_d = jnp.asarray(feats)
         metric = params.metric_type
 
-        # Device mirrors of the FULL-SIZE padded graph arrays.  Shapes never
-        # change across insertion batches (unfrozen nodes simply have no
-        # incoming edges yet), so every search compiles exactly once per
-        # query-batch bucket; host-side edits sync as row scatters.
-        dev_n0 = jnp.asarray(neighbors0)
-        dev_up = [jnp.asarray(uppers[l]) for l in range(max_level)]
+        feats_d = jnp.asarray(feats)
+        dev_n0 = jnp.full((N, maxM0), -1, jnp.int32)
+        dev_up = [jnp.full((N, maxM), -1, jnp.int32) for _ in range(max_level)]
 
-        def search_frozen(q_idx: np.ndarray, entry_: int):
-            """Search the frozen graph for batch points; returns (B, efC) ids."""
-            Q = feats_d[jnp.asarray(q_idx)]
-            B = len(q_idx)
+        # single padded batch shape -> fixed set of compiled kernels
+        B = min(params.build_batch_size, max(32, 1 << (max(N - 1, 1)).bit_length()))
+        A_CHUNK = 4096  # affected-row chunk for scatter-prune calls
+        K_PAD = 64  # reverse-edge arrivals per node per scatter call
+
+        def search_batch(q_idx: np.ndarray, entry_: int, ef: int):
+            """Search the current graph for q_idx (padded to B); (B, ef) ids/dists."""
+            pad = np.zeros(B - len(q_idx), np.int64)
+            Q = feats_d[jnp.asarray(np.concatenate([q_idx, pad]))]
             cur = jnp.full((B,), entry_, jnp.int32)
             for l in range(max_level, 0, -1):
                 g = DeviceGraph(feats_d, dev_up[l - 1], metric)
                 cur = batch_greedy_descent(g, Q, cur, max_steps=64)
             g0 = DeviceGraph(feats_d, dev_n0, metric)
-            ids, dists = batch_search_level(
-                g0, Q, cur[:, None], ef=params.efC, max_steps=4 * params.efC
-            )
-            return np.asarray(ids), np.asarray(dists)
+            return batch_search_level(g0, Q, cur[:, None], ef=ef, max_steps=4 * ef)
 
-        def _dists_to(node: int, others: np.ndarray) -> np.ndarray:
-            if metric == "l2":
-                return ((feats[others] - feats[node]) ** 2).sum(axis=1)
-            return 1.0 - feats[others] @ feats[node]
+        def apply_reverse(arr, dst: np.ndarray, src: np.ndarray, use_alg4: bool):
+            """Merge src->dst reverse edges into adjacency arr (device)."""
+            prune = scatter_prune_rows_alg4 if use_alg4 else scatter_prune_rows
+            Nn = arr.shape[0]
+            for rows, cands in _group_edges(dst, src, K_PAD):
+                for a0 in range(0, len(rows), A_CHUNK):
+                    r = rows[a0 : a0 + A_CHUNK]
+                    c = cands[a0 : a0 + A_CHUNK]
+                    a_pad = A_CHUNK - len(r)
+                    if a_pad:
+                        r = np.concatenate([r, np.full(a_pad, Nn, np.int32)])
+                        c = np.concatenate([c, np.full((a_pad, K_PAD), -1, np.int32)])
+                    arr = prune(arr, feats_d, jnp.asarray(r), jnp.asarray(c), metric=metric)
+            return arr
 
-        def prune_to_closest(nbr_list: np.ndarray, node: int, cap: int) -> np.ndarray:
-            """Keep the cap closest neighbors on reverse-edge overflow.
-
-            Measured on 50K x 128d gaussians: the full Alg-4 heuristic for
-            reverse edges tripled build time with zero recall change, so the
-            simple distance prune is used here (forward edges still use the
-            heuristic via batch_select_neighbors)."""
-            valid = nbr_list[nbr_list >= 0]
-            out = np.full(nbr_list.shape[0], -1, np.int32)
-            if len(valid) <= cap:
-                out[: len(valid)] = valid
-                return out
-            d = _dists_to(node, valid)
-            keep = valid[np.argsort(d, kind="stable")[:cap]]
-            out[: len(keep)] = keep
+        def pad_rows(vals: np.ndarray, cap: int) -> np.ndarray:
+            out = np.full((vals.shape[0], cap), -1, np.int32)
+            k = min(cap, vals.shape[1])
+            out[:, :k] = vals[:, :k]
             return out
 
-        # growing insertion batches, padded to power-of-two buckets so each
-        # bucket size compiles once
-        inserted = 1  # point 0 is the initial graph
+        # ---- phase 1: batched insertion (growing ramp, then steady B) ----
+        inserted = 1
         bs = 32
         while inserted < N:
             batch = np.arange(inserted, min(inserted + bs, N))
-            bucket = max(32, 1 << (len(batch) - 1).bit_length())
-            q_idx = np.concatenate([batch, np.zeros(bucket - len(batch), np.int64)])
-            ids_d, dists_d = search_frozen(q_idx, entry)
-            # Alg.4 select-neighbors for the whole batch on device
-            cand_feats = feats_d[jnp.clip(jnp.asarray(ids_d), 0, N - 1)]
-            cross = jax.vmap(lambda F: pairwise_dist(F, F, metric))(cand_feats)
+            b = len(batch)
+            ids_d, dists_d = search_batch(batch, entry, efC)
             sel_all = np.asarray(
-                batch_select_neighbors(
-                    jnp.asarray(ids_d), jnp.asarray(dists_d), cross, M=M
+                batch_select_from_search(feats_d, ids_d, dists_d, M=M, metric=metric)
+            )[:b]
+            # forward + reverse edges at level 0
+            batch_pad = np.full(B, N, np.int64)
+            batch_pad[:b] = batch
+            fwd0 = np.full((B, maxM0), -1, np.int32)
+            fwd0[:b] = pad_rows(sel_all, maxM0)
+            dev_n0 = _scatter_set_rows(dev_n0, jnp.asarray(batch_pad), jnp.asarray(fwd0))
+            valid = sel_all >= 0
+            dst = sel_all[valid].astype(np.int64)
+            src = np.repeat(batch, valid.sum(axis=1))
+            if len(dst):
+                dev_n0 = apply_reverse(dev_n0, dst, src, params.reverse_alg4)
+            # upper levels: forward = selected peers living at that level
+            for l in range(1, max_level + 1):
+                pts = batch[levels[batch] >= l]
+                if len(pts) == 0:
+                    continue
+                sel_l = sel_all[levels[batch] >= l].copy()
+                sel_l[(sel_l >= 0) & (levels[np.clip(sel_l, 0, N - 1)] < l)] = -1
+                # compact valid ids left
+                order = np.argsort(sel_l < 0, axis=1, kind="stable")
+                sel_l = np.take_along_axis(sel_l, order, axis=1)
+                rows = np.full(B, N, np.int64)
+                rows[: len(pts)] = pts
+                dev_up[l - 1] = _scatter_set_rows(
+                    dev_up[l - 1],
+                    jnp.asarray(rows),
+                    jnp.asarray(np.concatenate([
+                        pad_rows(sel_l, maxM),
+                        np.full((B - len(pts), maxM), -1, np.int32),
+                    ])),
                 )
-            )[: len(batch)]
-            changed0: set = set()
-            changed_up = [set() for _ in range(max_level)]
-            for bi, p in enumerate(batch):
-                sel = sel_all[bi]
-                sel = sel[sel >= 0].astype(np.int32)
-                # connect at every level up to the point's level
-                for l in range(min(int(levels[p]), max_level) + 1):
-                    if l == 0:
-                        arr, cap, changed = neighbors0, maxM0, changed0
-                    else:
-                        arr, cap, changed = uppers[l - 1], maxM, changed_up[l - 1]
-                    if l > 0:
-                        lv = sel[levels[sel] >= l]
-                    else:
-                        lv = sel
-                    lv = lv[:cap]
-                    arr[p, : len(lv)] = lv
-                    changed.add(int(p))
-                    # reverse edges with simple prune on overflow
-                    for n in lv:
-                        row = arr[n]
-                        slot = np.argmax(row < 0) if (row < 0).any() else -1
-                        if slot >= 0 and row[slot] < 0:
-                            row[slot] = p
-                        else:
-                            cand_rev = np.concatenate([row, [p]]).astype(np.int32)
-                            arr[n] = prune_to_closest(cand_rev, n, cap)[:cap]
-                        changed.add(int(n))
-                if levels[p] > levels[entry]:
-                    entry = int(p)
-            # sync changed rows to the device mirrors (incremental scatter)
-            if changed0:
-                rows = np.fromiter(changed0, np.int32)
-                dev_n0 = dev_n0.at[jnp.asarray(rows)].set(jnp.asarray(neighbors0[rows]))
-            for l in range(max_level):
-                if changed_up[l]:
-                    rows = np.fromiter(changed_up[l], np.int32)
-                    dev_up[l] = dev_up[l].at[jnp.asarray(rows)].set(
-                        jnp.asarray(uppers[l][rows])
-                    )
+                validl = sel_l >= 0
+                dstl = sel_l[validl].astype(np.int64)
+                srcl = np.repeat(pts, validl.sum(axis=1))
+                if len(dstl):
+                    dev_up[l - 1] = apply_reverse(dev_up[l - 1], dstl, srcl, params.reverse_alg4)
+            top = batch[np.argmax(levels[batch])]
+            if levels[top] > levels[entry]:
+                entry = int(top)
             inserted = batch[-1] + 1
-            bs = min(params.build_batch_size, max(32, inserted))
+            bs = min(B, max(32, inserted))
+            if inserted % (64 * B) < b:
+                LOGGER.info("hnsw build: %d/%d inserted", inserted, N)
 
+        # ---- phase 2: refinement passes over the finished graph ----
+        for it in range(max(0, params.refine_iters)):
+            LOGGER.info("hnsw refine pass %d/%d", it + 1, params.refine_iters)
+            new_fwd = np.full((N, M), -1, np.int32)
+            for s0 in range(0, N, B):
+                nodes = np.arange(s0, min(s0 + B, N))
+                b = len(nodes)
+                ids_d, dists_d = search_batch(nodes, entry, efC)
+                # drop self-matches, merge current neighbors as candidates
+                nodes_pad = np.full(B, -2, np.int64)
+                nodes_pad[:b] = nodes
+                self_mask = ids_d == jnp.asarray(nodes_pad)[:, None]
+                ids_d = jnp.where(self_mask, -1, ids_d)
+                dists_d = jnp.where(self_mask, jnp.float32(3.4e38), dists_d)
+                sel = np.asarray(
+                    batch_select_from_search(feats_d, ids_d, dists_d, M=M, metric=metric)
+                )[:b]
+                new_fwd[nodes] = sel
+            # rebuild L0: forward edges, then distance-pruned reverse edges
+            n0_host = np.full((N, maxM0), -1, np.int32)
+            n0_host[:, :M] = new_fwd
+            dev_n0 = jnp.asarray(n0_host)
+            valid = new_fwd >= 0
+            dst = new_fwd[valid].astype(np.int64)
+            src = np.repeat(np.arange(N, dtype=np.int64), valid.sum(axis=1))
+            dev_n0 = apply_reverse(dev_n0, dst, src, params.reverse_alg4)
+
+        neighbors0 = np.asarray(dev_n0)
+        uppers = (
+            np.stack([np.asarray(u) for u in dev_up])
+            if max_level
+            else np.zeros((0, N, maxM), np.int32)
+        )
         model = cls(
             feats,
             neighbors0,

@@ -58,7 +58,7 @@ def _kmeans16(Xs: jax.Array, key: jax.Array, iters: int) -> jax.Array:
     def body(_, cent):
         d = (
             jnp.sum(Xs * Xs, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(Xs, cent.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(Xs, cent.T, preferred_element_type=jnp.float32, precision="highest")
             + jnp.sum(cent * cent, axis=1)[None, :]
         )
         assign = jnp.argmin(d, axis=1)

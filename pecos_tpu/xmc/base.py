@@ -44,6 +44,10 @@ LOGGER = logging.getLogger(__name__)
 
 # cap on elements per (N x Lb) solver block intermediate
 _SOLVER_BLOCK_BUDGET = 1 << 26
+# padded P*F elements above which a cluster switches from the local-dense
+# bucket solver to the global sparse-rows solver (tests shrink this to
+# exercise the big-cluster path on toy data)
+_LOCAL_DENSE_BUDGET = 1 << 27
 
 
 class MLProblem(object):
@@ -286,35 +290,20 @@ class MLModel(pecos_tpu.BaseClass):
         W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
         return cls(W=W, C=C, bias=bias, pred_params=pred_params)
 
-    @staticmethod
-    def _labels_for_cluster(A, ch, k, Y_csc, M_csc, R_csc, N, train_params, ns):
-        """Per-cluster (P, ns) targets and costs (linear_solver.hpp:667-711
-        semantics: M rows negative, Y rows positive, cost = (Cp|Cn)*relevance,
-        pairs outside the active union carry zero cost)."""
-        P = len(A)
-        y = -np.ones((P, ns), np.float32)
-        cost = np.zeros((P, ns), np.float32)
-        in_M = np.isin(A, M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]])
-        for j, l in enumerate(ch):
-            pos = Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]]
-            is_pos = np.isin(A, pos)
-            y[is_pos, j] = 1.0
-            active = in_M | is_pos
-            if R_csc is not None:
-                rvals = np.zeros(N, np.float32)
-                sl = slice(Y_csc.indptr[l], Y_csc.indptr[l + 1])
-                rvals[Y_csc.indices[sl]] = R_csc.data[sl]
-                pc = rvals[A]
-            else:
-                pc = 1.0
-            cost[:, j] = np.where(y[:, j] > 0, train_params.Cp * pc, train_params.Cn) * active
-        return y, cost
-
     @classmethod
     def _train_bucketed(cls, prob: MLProblem, train_params, pred_params, loss) -> "MLModel":
         """Scalable per-cluster training: gather each cluster's active
         instances and feature union, solve buckets of same-shape clusters with
-        one vmapped Newton-CG each (solvers.solve_cluster_bucket)."""
+        one vmapped Newton-CG each (solvers.solve_cluster_bucket).
+
+        All cluster/label bookkeeping is computed with GLOBAL vectorized
+        passes (one SpMM for active sets, one sorted-key searchsorted for
+        positives, one np.unique for feature unions) instead of per-cluster
+        Python — at Wiki-500K geometry (~37K clusters, 500K labels) the old
+        per-cluster/per-label loops cost minutes before any device work.
+        Semantics anchor: linear_solver.hpp:667-711 (M rows negative, Y rows
+        positive, cost = (Cp|Cn)*relevance, inactive pairs cost 0).
+        """
         X = prob.X.tocsr() if smat.issparse(prob.X) else smat.csr_matrix(prob.X)
         Y_csc, C, M_csc = prob.Y.tocsc(), prob.C.tocsc(), prob.M.tocsc()
         R_csc = prob.R.tocsc() if prob.R is not None else None
@@ -324,85 +313,163 @@ class MLModel(pecos_tpu.BaseClass):
         bias = train_params.bias
         Db = D + (1 if bias > 0 else 0)
         max_nnz = train_params.max_nonzeros_per_label or Db
+        Cp, Cn = np.float32(train_params.Cp), np.float32(train_params.Cn)
 
         def pow2(v, lo=8):
             return max(lo, 1 << max(int(v) - 1, 0).bit_length())
 
-        # cluster -> children labels
-        children = [C.indices[C.indptr[k] : C.indptr[k + 1]] for k in range(K)]
+        # cluster -> children labels (C csc: one column per cluster)
+        c_indptr = C.indptr
+        children = [C.indices[c_indptr[k] : c_indptr[k + 1]] for k in range(K)]
         ns_max = max((len(ch) for ch in children), default=1)
+        parents = np.zeros(L, np.int64)
+        parents[C.indices] = np.repeat(np.arange(K), np.diff(c_indptr))
+        # label -> rank among its siblings (position within its C column)
+        pos_in_C = np.empty(L, np.int64)
+        pos_in_C[C.indices] = np.arange(len(C.indices))
+        j_local_of_label = pos_in_C - c_indptr[parents]
 
-        # ---- host gathering per cluster ------------------------------------
-        jobs = []  # local-subspace jobs: (k, A, F, xl_ids, xl_vals, y, cost)
-        big_jobs = []  # global sparse-rows jobs: (k, A, x_ids, x_vals, y, cost)
-        for k in range(K):
-            ch = children[k]
-            if len(ch) == 0:
-                continue
-            A = M_csc.indices[M_csc.indptr[k] : M_csc.indptr[k + 1]]
-            pos_rows = np.unique(
-                np.concatenate(
-                    [Y_csc.indices[Y_csc.indptr[l] : Y_csc.indptr[l + 1]] for l in ch]
-                )
-            ) if len(ch) else np.zeros(0, np.int64)
-            A = np.union1d(A, pos_rows).astype(np.int64)
-            if A.size == 0:
-                continue
-            Xa = X[A]
+        # ---- global active sets: one boolean SpMM ---------------------------
+        Yb = Y_csc.copy()
+        Yb.data = np.ones_like(Yb.data)
+        Cb = C.copy()
+        Cb.data = np.ones_like(Cb.data)
+        Mb = M_csc.copy()
+        Mb.data = np.ones_like(Mb.data)
+        Act = ((Yb @ Cb) + Mb).tocsc()  # (N, K); col k = active rows of cluster k
+        Act.sum_duplicates()
+        Act.sort_indices()
+        act_indptr, act_rows = Act.indptr, Act.indices
+        P_arr = np.diff(act_indptr)
+        total_act = len(act_rows)
+        act_cluster = np.repeat(np.arange(K, dtype=np.int64), P_arr)
+        act_keys = act_cluster * N + act_rows
 
-            def pw2(v, lo=8):
-                return max(lo, 1 << max(int(v) - 1, 0).bit_length())
+        # in-M mask per active (cluster, row) slot
+        m_cluster = np.repeat(np.arange(K, dtype=np.int64), np.diff(M_csc.indptr))
+        in_M_flat = np.zeros(total_act, bool)
+        in_M_flat[np.searchsorted(act_keys, m_cluster * N + M_csc.indices)] = True
 
-            # local-dense layout infeasible for huge clusters (top layers:
-            # every instance active, feature union ~ everything) -> global
-            # sparse-rows solver
-            F_est = min(Xa.nnz + 1, Db)
-            if pw2(len(A)) * pw2(F_est, lo=128) > (1 << 27):
-                nnz = np.diff(Xa.indptr)
-                xcap = int(nnz.max()) + (1 if bias > 0 else 0) if A.size else 1
-                P = len(A)
+        # per-Y-entry local position + sibling rank, grouped by cluster
+        y_lab = np.repeat(np.arange(L, dtype=np.int64), np.diff(Y_csc.indptr))
+        y_par = parents[y_lab]
+        y_pos_local = np.searchsorted(act_keys, y_par * N + Y_csc.indices) - act_indptr[y_par]
+        y_j = j_local_of_label[y_lab]
+        y_cost = (
+            Cp * R_csc.data.astype(np.float32)
+            if R_csc is not None
+            else np.full(len(y_lab), Cp, np.float32)
+        )
+        ordY = np.argsort(y_par, kind="stable")
+        y_pos_local, y_j, y_cost = y_pos_local[ordY], y_j[ordY], y_cost[ordY]
+        y_bounds = np.searchsorted(y_par[ordY], np.arange(K + 1))
+
+        # ---- one global X row-gather + per-cluster feature unions -----------
+        XA = X[act_rows]  # (total_act, D) csr
+        row_nnz = np.diff(XA.indptr)
+        seg_nnz = np.zeros(K, np.int64)
+        np.add.at(seg_nnz, act_cluster, row_nnz)
+        seg_max_nnz = np.zeros(K, np.int64)
+        np.maximum.at(seg_max_nnz, act_cluster, row_nnz)
+        xcap_arr = seg_max_nnz + (1 if bias > 0 else 0)
+        rows_local = np.repeat(
+            np.arange(total_act) - act_indptr[act_cluster], row_nnz
+        )
+        offs = np.arange(XA.nnz) - np.repeat(XA.indptr[:-1], row_nnz)
+
+        # big clusters (local-dense layout infeasible) -> global sparse-rows
+        pw2_P = np.maximum(8, 2 ** np.ceil(np.log2(np.maximum(P_arr, 1))).astype(np.int64))
+        F_est = np.minimum(seg_nnz + 1, Db)
+        pw2_F = np.maximum(128, 2 ** np.ceil(np.log2(np.maximum(F_est, 1))).astype(np.int64))
+        is_big = (pw2_P * pw2_F > _LOCAL_DENSE_BUDGET) & (P_arr > 0)
+        nonempty = (P_arr > 0) & (np.diff(c_indptr) > 0)
+        small_mask = nonempty & ~is_big
+        big_mask = nonempty & is_big
+
+        # feature unions only for small clusters (one global unique)
+        e_cluster = np.repeat(act_cluster, row_nnz)
+        e_small = small_mask[e_cluster]
+        stride = np.int64(D + 1)
+        fkeys = e_cluster[e_small] * stride + XA.indices[e_small]
+        if bias > 0:
+            small_ids = np.nonzero(small_mask)[0].astype(np.int64)
+            fkeys = np.concatenate([fkeys, small_ids * stride + D])
+        uniq = np.unique(fkeys)
+        F_bounds = np.searchsorted(uniq, np.arange(K + 1, dtype=np.int64) * stride)
+        F_len = np.diff(F_bounds)
+        F_feat = (uniq % stride).astype(np.int64)  # bias slot -> feature id D
+        f_local_small = (np.searchsorted(uniq, fkeys[: e_small.sum()]) - F_bounds[e_cluster[e_small]]).astype(np.int32)
+        # scatter back to per-entry positions (entries of small clusters only)
+        f_local_all = np.zeros(XA.nnz, np.int32)
+        f_local_all[e_small] = f_local_small
+        xent_bounds = np.searchsorted(e_cluster, np.arange(K + 1))
+
+        def build_y_cost(k, P, ns):
+            sl = slice(y_bounds[k], y_bounds[k + 1])
+            y = -np.ones((P, ns), np.float32)
+            cost = np.zeros((P, ns), np.float32)
+            nk = len(children[k])
+            in_M_k = in_M_flat[act_indptr[k] : act_indptr[k + 1]]
+            cost[:, :nk] = np.where(in_M_k[:, None], Cn, np.float32(0.0))
+            y[y_pos_local[sl], y_j[sl]] = 1.0
+            cost[y_pos_local[sl], y_j[sl]] = y_cost[sl]
+            return y, cost
+
+        jobs = []  # (k, F_slice, xl_ids, xl_vals, y, cost)
+        big_jobs = []  # (k, gx_ids, gx_vals, y, cost)
+        for k in np.nonzero(nonempty)[0]:
+            P = int(P_arr[k])
+            xcap = max(int(xcap_arr[k]), 1)
+            sl_e = slice(xent_bounds[k], xent_bounds[k + 1])
+            rl, of = rows_local[sl_e], offs[sl_e]
+            nnz_seg = row_nnz[act_indptr[k] : act_indptr[k + 1]]
+            if big_mask[k]:
                 gx_ids = np.full((P, xcap), Db, np.int32)
                 gx_vals = np.zeros((P, xcap), np.float32)
-                rows = np.repeat(np.arange(P), nnz)
-                offs = np.arange(Xa.nnz) - np.repeat(Xa.indptr[:-1], nnz)
-                gx_ids[rows, offs] = Xa.indices
-                gx_vals[rows, offs] = Xa.data
+                gx_ids[rl, of] = XA.indices[sl_e]
+                gx_vals[rl, of] = XA.data[sl_e]
                 if bias > 0:
-                    gx_ids[np.arange(P), nnz] = D
-                    gx_vals[np.arange(P), nnz] = bias
-                y, cost = cls._labels_for_cluster(
-                    A, ch, k, Y_csc, M_csc, R_csc, N, train_params, len(ch)
-                )
-                big_jobs.append((k, A, gx_ids, gx_vals, y, cost))
+                    gx_ids[np.arange(P), nnz_seg] = D
+                    gx_vals[np.arange(P), nnz_seg] = bias
+                y, cost = build_y_cost(k, P, len(children[k]))
+                big_jobs.append((k, gx_ids, gx_vals, y, cost))
                 continue
-            F = np.unique(Xa.indices)
-            if bias > 0:
-                F = np.union1d(F, [D])
-            # local sparse rows
-            nnz = np.diff(Xa.indptr)
-            xcap = int(nnz.max()) + (1 if bias > 0 else 0) if A.size else 1
-            P = len(A)
-            xl_ids = np.full((P, xcap), len(F), np.int32)  # pad -> F2 slot later
+            Fl = int(F_len[k])
+            xl_ids = np.full((P, xcap), Fl, np.int32)  # pad -> F2 slot later
             xl_vals = np.zeros((P, xcap), np.float32)
-            rows = np.repeat(np.arange(P), nnz)
-            offs = np.arange(Xa.nnz) - np.repeat(Xa.indptr[:-1], nnz)
-            xl_ids[rows, offs] = np.searchsorted(F, Xa.indices).astype(np.int32)
-            xl_vals[rows, offs] = Xa.data
+            xl_ids[rl, of] = f_local_all[sl_e]
+            xl_vals[rl, of] = XA.data[sl_e]
             if bias > 0:
-                xl_ids[np.arange(P), nnz] = np.searchsorted(F, D)
-                xl_vals[np.arange(P), nnz] = bias
-            y, cost = cls._labels_for_cluster(
-                A, ch, k, Y_csc, M_csc, R_csc, N, train_params, ns_max
-            )
-            jobs.append((k, A, F, xl_ids, xl_vals, y, cost))
+                # bias feature D is the largest key in the union -> always last
+                xl_ids[np.arange(P), nnz_seg] = Fl - 1
+                xl_vals[np.arange(P), nnz_seg] = bias
+            y, cost = build_y_cost(k, P, ns_max)
+            jobs.append((int(k), xl_ids, xl_vals, y, cost))
+
+        def prune_block(Wb: np.ndarray) -> np.ndarray:
+            """Vectorized threshold + per-column top-|w| prune.
+
+            Wb (F', ns') or (Cb, F', ns'): zero entries below threshold, then
+            keep at most max_nnz per label column (linear_solver.hpp:718-778).
+            """
+            absW = np.abs(Wb)
+            Wb = np.where(absW < train_params.threshold, 0.0, Wb)
+            Fdim = Wb.shape[-2]
+            if max_nnz < Fdim:
+                absW = np.where(absW < train_params.threshold, 0.0, np.abs(Wb))
+                part = np.argpartition(-absW, max_nnz - 1, axis=-2)
+                mask = np.zeros_like(Wb, bool)
+                np.put_along_axis(mask, np.take(part, np.arange(max_nnz), axis=-2), True, axis=-2)
+                Wb = np.where(mask, Wb, 0.0)
+            return Wb
 
         # ---- bucket by padded shapes ---------------------------------------
         # (4x-coarser quantization was measured: no device-time win, more
         # host padding cost — pow2 kept)
         buckets: dict = {}
         for job in jobs:
-            _, A, F, xl_ids, xl_vals, y, cost = job
-            key = (pow2(len(A)), pow2(len(F), lo=128), pow2(xl_ids.shape[1]))
+            k, xl_ids, xl_vals, y, cost = job
+            key = (pow2(xl_ids.shape[0]), pow2(int(F_len[k]), lo=128), pow2(xl_ids.shape[1]))
             buckets.setdefault(key, []).append(job)
 
         W_rows: List[np.ndarray] = []
@@ -418,9 +485,9 @@ class MLModel(pecos_tpu.BaseClass):
                 vals = np.zeros((Cb, P2, xc2), np.float32)
                 yb = np.ones((Cb, P2, ns_max), np.float32)
                 cb_ = np.zeros((Cb, P2, ns_max), np.float32)
-                for i, (_, A, F, xi, xv, yy, cc) in enumerate(chunk):
+                for i, (k, xi, xv, yy, cc) in enumerate(chunk):
                     P, xc = xi.shape
-                    ids[i, :P, :xc] = np.where(xi == len(F), F2, xi)
+                    ids[i, :P, :xc] = np.where(xi == F_len[k], F2, xi)
                     vals[i, :P, :xc] = xv
                     yb[i, :P] = yy
                     cb_[i, :P] = cc
@@ -435,24 +502,17 @@ class MLModel(pecos_tpu.BaseClass):
                     max_newton=train_params.max_newton_iter,
                     cg_max=train_params.cg_max_iter,
                 )
-                Wl = np.array(jax.device_get(Wl))  # (Cb, F2, ns_max)
-                for i, (k, A, F, xi, xv, yy, cc) in enumerate(chunk):
+                Wl = prune_block(np.array(jax.device_get(Wl)))  # (Cb, F2, ns_max)
+                for i, (k, xi, xv, yy, cc) in enumerate(chunk):
                     ch = children[k]
-                    for j, l in enumerate(ch):
-                        w = Wl[i, : len(F), j]
-                        w = np.where(np.abs(w) < train_params.threshold, 0.0, w)
-                        nz = np.nonzero(w)[0]
-                        if len(nz) > max_nnz:
-                            keep = nz[np.argsort(-np.abs(w[nz]))[:max_nnz]]
-                            mask = np.zeros(len(w), bool)
-                            mask[keep] = True
-                            w = np.where(mask, w, 0.0)
-                            nz = keep
-                        W_rows.append(F[nz])
-                        W_cols.append(np.full(len(nz), l, np.int64))
-                        W_vals.append(w[nz].astype(np.float32))
+                    Fk = F_feat[F_bounds[k] : F_bounds[k + 1]]
+                    Wi = Wl[i, : len(Fk), : len(ch)]
+                    f_idx, j_idx = np.nonzero(Wi)
+                    W_rows.append(Fk[f_idx])
+                    W_cols.append(ch[j_idx].astype(np.int64))
+                    W_vals.append(Wi[f_idx, j_idx].astype(np.float32))
         # ---- huge clusters: global sparse-rows solver -----------------------
-        for k, A, gx_ids, gx_vals, y, cost in big_jobs:
+        for k, gx_ids, gx_vals, y, cost in big_jobs:
             ch = children[k]
             P, xc = gx_ids.shape
             P2 = pow2(P)
@@ -476,17 +536,11 @@ class MLModel(pecos_tpu.BaseClass):
                 max_newton=train_params.max_newton_iter,
                 cg_max=train_params.cg_max_iter,
             )
-            Wg = np.array(jax.device_get(Wg))  # (Db, ns)
-            for j, l in enumerate(ch):
-                w = Wg[:, j]
-                w = np.where(np.abs(w) < train_params.threshold, 0.0, w)
-                nz = np.nonzero(w)[0]
-                if len(nz) > max_nnz:
-                    keep = nz[np.argsort(-np.abs(w[nz]))[:max_nnz]]
-                    nz = np.sort(keep)
-                W_rows.append(nz)
-                W_cols.append(np.full(len(nz), l, np.int64))
-                W_vals.append(w[nz].astype(np.float32))
+            Wg = prune_block(np.array(jax.device_get(Wg)))  # (Db, ns)
+            f_idx, j_idx = np.nonzero(Wg)
+            W_rows.append(f_idx.astype(np.int64))
+            W_cols.append(ch[j_idx].astype(np.int64))
+            W_vals.append(Wg[f_idx, j_idx].astype(np.float32))
 
         rows = np.concatenate(W_rows) if W_rows else np.zeros(0, np.int64)
         cols = np.concatenate(W_cols) if W_cols else np.zeros(0, np.int64)

@@ -105,3 +105,97 @@ def test_load_balancer_partition():
     # order-preserving contiguity
     flat = [x for j in jobs for x in j]
     assert flat == sorted(flat)
+
+
+def test_multirank_distributed_train_matches_direct():
+    """Size-4 in-process cluster (FakeClusterComm threads): full multi-rank
+    path — meta clustering on rank 0, scattered sub-tree builds, gathered
+    sub-models, rank-0 reconstruction — must match the direct model
+    (reference idiom: test_dist_xlinear.py:71-149)."""
+    import threading
+
+    from pecos_tpu.parallel.comm import FakeClusterComm
+
+    X, Y = _synthetic(n=200, L=48, seed=3)
+    cluster = FakeClusterComm(4)
+    results = [None] * 4
+    errors = []
+
+    def run_rank(r):
+        try:
+            comm = cluster.rank_comm(r)
+            dist = DistClustering.dist_get_cluster_chain(
+                X,
+                Y,
+                comm,
+                cluster_params={"indexer_params": {"nr_splits": 2, "max_leaf_size": 4}},
+                min_n_sub_tree=4,
+            )
+            results[r] = (
+                DistributedXLinearModel.train(
+                    X,
+                    Y,
+                    comm,
+                    dist_chain=dist,
+                    train_params={"hlm_args": {"model_chain": {"threshold": 0.0}}},
+                ),
+                dist,
+            )
+        except Exception as e:  # surface thread failures in the main thread
+            import traceback
+
+            errors.append(traceback.format_exc())
+            raise
+
+    threads = [threading.Thread(target=run_rank, args=(r,)) for r in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors[0]
+    assert results[0][0] is not None, "rank 0 must return the reconstructed model"
+    for r in range(1, 4):
+        assert results[r][0] is None, f"rank {r} must return None"
+
+    model_dist, dist = results[0]
+    model_direct = XLinearModel.train(
+        X, Y, C=dist.get_cluster_chain(), threshold=0.0, shallow=True
+    )
+    P1 = model_dist.predict(X, beam_size=4, only_topk=3)
+    P2 = model_direct.predict(X, beam_size=4, only_topk=3)
+    d1 = np.asarray(P1.todense())
+    d2 = np.asarray(P2.todense())
+    close = np.isclose(d1, d2, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of entries match"
+    np.testing.assert_array_equal(d1.argmax(axis=1), d2.argmax(axis=1))
+
+
+def test_fake_cluster_comm_primitives():
+    import threading
+
+    from pecos_tpu.parallel.comm import FakeClusterComm
+
+    cluster = FakeClusterComm(3)
+    out = {}
+
+    def run(r):
+        c = cluster.rank_comm(r)
+        assert c.bcast("hello" if r == 1 else None, root=1) == "hello"
+        assert c.scatter([10, 20, 30] if r == 0 else None, root=0) == 10 * (r + 1)
+        g = c.gather(r * r, root=2)
+        if r == 2:
+            out["gather"] = g
+        else:
+            assert g is None
+        if r == 0:
+            c.send({"payload": np.arange(5)}, dest=2, tag=7)
+        if r == 2:
+            got = c.recv(source=0, tag=7)
+            np.testing.assert_array_equal(got["payload"], np.arange(5))
+
+    threads = [threading.Thread(target=run, args=(r,)) for r in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert out["gather"] == [0, 1, 4]

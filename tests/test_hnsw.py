@@ -1,6 +1,8 @@
 """HNSW recall property tests (reference idiom: test/pecos/ann/test_hnsw.py:58-123 —
 recall@10 vs exact brute force ~= 1.0 at efS in {50, 75, 100})."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,55 @@ def test_pq4_save_load(tmp_path):
     i1, d1 = model.predict(Q, efS=30, topk=5)
     i2, d2 = loaded.predict(Q, efS=30, topk=5)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_hnsw_cli_end_to_end(tmp_path):
+    """Mirror of the reference CLI test (test/pecos/ann/test_hnsw.py:125):
+    train via CLI, predict via CLI with -y/-o, check recall output + saved csr."""
+    import subprocess
+    import sys
+
+    import scipy.sparse as smat
+
+    from pecos_tpu.utils import smat_util
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((500, 16)).astype(np.float32)
+    Xt = X[:50] + 0.01 * rng.standard_normal((50, 16)).astype(np.float32)
+    model_dir = str(tmp_path / "hnsw_model")
+    x_path = str(tmp_path / "X.npy")
+    xt_path = str(tmp_path / "Xt.npy")
+    np.save(x_path, X)
+    np.save(xt_path, Xt)
+    # ground truth: exact top-10 by l2
+    d = ((Xt[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    topk = np.argsort(d, axis=1)[:, :10]
+    rows = np.repeat(np.arange(50), 10)
+    Y = smat.csr_matrix(
+        (np.ones(500, np.float32), (rows, topk.ravel())), shape=(50, 500)
+    )
+    y_path = str(tmp_path / "Y.npz")
+    smat_util.save_matrix(y_path, Y)
+    pred_path = str(tmp_path / "pred.npz")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "-m", "pecos_tpu.ann.hnsw.train",
+        "-x", x_path, "-m", model_dir, "--metric-type", "l2",
+        "-M", "8", "-efC", "50",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    cmd = [
+        sys.executable, "-m", "pecos_tpu.ann.hnsw.predict",
+        "-x", xt_path, "-m", model_dir, "-efS", "50", "-k", "10",
+        "-y", y_path, "-o", pred_path,
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    assert "Recall10@10" in r.stdout
+    recall = float(r.stdout.split("Recall10@10")[1].split("%")[0])
+    assert recall >= 99.0, r.stdout
+    P = smat_util.load_matrix(pred_path)
+    assert P.shape == (50, 500)

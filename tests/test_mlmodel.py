@@ -189,3 +189,27 @@ def test_bucketed_solver_with_relevance():
     np.testing.assert_allclose(
         np.asarray(m1.W.todense()), np.asarray(m2.W.todense()), rtol=1e-3, atol=1e-3
     )
+
+
+def test_bucketed_big_cluster_path_matches_dense(monkeypatch):
+    """Force the global sparse-rows (big-cluster) branch on toy data and
+    check it reproduces the masked-dense solution (same convex objective)."""
+    import pecos_tpu.xmc.base as xmc_base
+
+    X, Y = _toy_problem(n=48, d=12, L=8, seed=5)
+    C = smat.csc_matrix(
+        (np.ones(8, np.float32), (np.arange(8), np.repeat(np.arange(4), 2))), shape=(8, 4)
+    )
+    prob = MLProblem(X, Y, C=C)
+    tp_dense = MLModel.TrainParams(
+        threshold=0.0, solver_mode="dense", newton_eps=1e-4, max_newton_iter=50
+    )
+    tp_big = MLModel.TrainParams(
+        threshold=0.0, solver_mode="bucketed", newton_eps=1e-4, max_newton_iter=50
+    )
+    m_dense = MLModel.train(prob, train_params=tp_dense)
+    monkeypatch.setattr(xmc_base, "_LOCAL_DENSE_BUDGET", 1)  # everything is "big"
+    m_big = MLModel.train(prob, train_params=tp_big)
+    Wd = np.asarray(m_dense.W.todense())
+    Wb = np.asarray(m_big.W.todense())
+    assert np.allclose(Wd, Wb, atol=5e-2), np.abs(Wd - Wb).max()
