@@ -25,10 +25,131 @@ from typing import List, Optional, Sequence
 import numpy as np
 import scipy.sparse as smat
 
+import ctypes
+
 import pecos_tpu
 from pecos_tpu.utils import smat_util
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# ---------------------------------------------------------------------------
+# native tokenizer bridge (pecos_tpu/core/tokenizer.cpp): C++ does the hot
+# tokenize/ngram/hash/count loop (>=10x the pure-Python path); df pruning,
+# idf, vocabulary ordering and CSR assembly stay vectorized numpy below.
+# ---------------------------------------------------------------------------
+_ANALYZER_CODE = {"word": 0, "char": 1, "char_wb": 2}
+_tok_lib = None
+_NATIVE_OK = True  # flipped off if the native core fails to build/load
+
+
+def _load_tok_lib():
+    global _tok_lib, _NATIVE_OK
+    if _tok_lib is None and _NATIVE_OK:
+        try:
+            from pecos_tpu.core import build_core
+
+            lib = ctypes.CDLL(build_core())
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.tok_count.restype = ctypes.c_void_p
+            lib.tok_count.argtypes = [
+                ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ]
+            lib.tok_nnz.restype = ctypes.c_int64
+            lib.tok_nnz.argtypes = [ctypes.c_void_p]
+            lib.tok_n_unique.restype = ctypes.c_int64
+            lib.tok_n_unique.argtypes = [ctypes.c_void_p]
+            lib.tok_str_blob_size.restype = ctypes.c_int64
+            lib.tok_str_blob_size.argtypes = [ctypes.c_void_p]
+            lib.tok_fill.argtypes = [ctypes.c_void_p, i64p, u64p, i32p]
+            lib.tok_fill_strings.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64p, u64p]
+            lib.tok_free.argtypes = [ctypes.c_void_p]
+            lib.tok_hash_strings.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int64, u64p]
+            _tok_lib = lib
+        except Exception:  # toolchain missing: fall back to the Python path
+            _NATIVE_OK = False
+    return _tok_lib
+
+
+def _native_count(corpus, analyzer: str, lo: int, hi: int, truncate: int, want_strings: bool):
+    """Tokenize+count a corpus natively.
+
+    Returns (doc_indptr, hashes, counts[, tokens]) where hashes/counts hold
+    each document's unique n-gram 64-bit hashes and multiplicities; `tokens`
+    (train only) is the list of first-occurrence n-gram strings.
+    """
+    lib = _load_tok_lib()
+    enc = [t.lower().encode("utf-8") for t in corpus]
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    if enc:
+        offsets[1:] = np.cumsum([len(b) for b in enc])
+    blob = b"".join(enc)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    handle = lib.tok_count(
+        blob, offsets.ctypes.data_as(i64p), len(enc), _ANALYZER_CODE[analyzer],
+        lo, hi, truncate, int(want_strings),
+    )
+    try:
+        nnz = lib.tok_nnz(handle)
+        doc_indptr = np.zeros(len(enc) + 1, np.int64)
+        hashes = np.zeros(nnz, np.uint64)
+        counts = np.zeros(nnz, np.int32)
+        lib.tok_fill(
+            handle,
+            doc_indptr.ctypes.data_as(i64p),
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if not want_strings:
+            return doc_indptr, hashes, counts
+        n_uniq = lib.tok_n_unique(handle)
+        blob_sz = lib.tok_str_blob_size(handle)
+        sblob = ctypes.create_string_buffer(max(int(blob_sz), 1))
+        soffs = np.zeros(n_uniq + 1, np.int64)
+        shash = np.zeros(n_uniq, np.uint64)
+        lib.tok_fill_strings(
+            handle, sblob, soffs.ctypes.data_as(i64p),
+            shash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        )
+        raw = sblob.raw[: int(blob_sz)]
+        return doc_indptr, hashes, counts, (raw, soffs, shash)
+    finally:
+        lib.tok_free(handle)
+
+
+def _void_keys(blob: bytes, offs: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """memcmp-sortable keys for the tokens selected by idx: right-zero-padded
+    UTF-8 bytes viewed as a void dtype (byte order == codepoint order, zero
+    pad sorts shorter strings first — identical to Python str ordering)."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    n = len(idx)
+    maxlen = int(lens.max()) if n else 1
+    mat = np.zeros((max(n, 1), maxlen), np.uint8)
+    if n:
+        rows = np.repeat(np.arange(n), lens)
+        within = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+        src_pos = np.repeat(offs[idx], lens) + within
+        mat[rows, within] = np.frombuffer(blob, np.uint8)[src_pos]
+    return mat[:n].view(f"V{maxlen}").ravel()
+
+
+def _hash_tokens(tokens: List[str]) -> np.ndarray:
+    """FNV-1a 64 hashes of vocab tokens via the native core (reload path)."""
+    lib = _load_tok_lib()
+    enc = [t.encode("utf-8") for t in tokens]
+    offsets = np.zeros(len(enc) + 1, np.int64)
+    if enc:
+        offsets[1:] = np.cumsum([len(b) for b in enc])
+    out = np.zeros(len(enc), np.uint64)
+    lib.tok_hash_strings(
+        b"".join(enc),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(enc),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
 
 
 class Vectorizer(pecos_tpu.BaseClass):
@@ -130,26 +251,80 @@ def _ngrams(units: List[str], analyzer: str, lo: int, hi: int):
 
 
 class _TfidfBase:
-    """One trained base vectorizer: vocab + idf weights."""
+    """One trained base vectorizer: vocab + idf weights.
 
-    def __init__(self, params: TfidfBaseParams, vocab: dict, idf: np.ndarray):
+    Token strings live either in a classic dict (Python path, reload) or in a
+    packed (blob, offsets) store in column order (native path) — the dict is
+    materialized lazily since the fast predict path only needs the hashes.
+    """
+
+    def __init__(self, params: TfidfBaseParams, vocab: Optional[dict], idf: np.ndarray):
         self.params = params
-        self.vocab = vocab
+        self._vocab = vocab
         self.idf = idf
+        self._tok_storage: Optional[tuple] = None  # (blob bytes, offsets) in col order
+        self._hash_sorted: Optional[np.ndarray] = None
+        self._col_sorted: Optional[np.ndarray] = None
+
+    @property
+    def vocab(self) -> dict:
+        if self._vocab is None and self._tok_storage is not None:
+            blob, offs = self._tok_storage
+            self._vocab = {
+                blob[offs[i] : offs[i + 1]].decode("utf-8"): i for i in range(len(offs) - 1)
+            }
+        return self._vocab
 
     @classmethod
-    def train(cls, corpus: Sequence[str], params: TfidfBaseParams) -> "_TfidfBase":
-        lo, hi = params.ngram_range
-        n_doc = len(corpus)
-        df = Counter()
-        for text in corpus:
-            units = _tokenize(text, params.analyzer, params.truncate_length)
-            df.update(set(_ngrams(units, params.analyzer, lo, hi)))
-        # df pruning (tfidf.hpp BaseVectorizer::train df-threshold logic)
+    def _from_native_vocab(cls, params, blob, offs, shash, df, n_doc) -> "_TfidfBase":
+        """Vectorized vocabulary selection: df pruning + feature cap +
+        byte-lexicographic column ordering, no per-token Python."""
         min_df = max(params.min_df_cnt, int(np.ceil(params.min_df_ratio * n_doc)))
         max_df = n_doc if params.max_df_cnt < 0 else params.max_df_cnt
         max_df = min(max_df, int(np.floor(params.max_df_ratio * n_doc)))
-        items = [(t, c) for t, c in df.items() if min_df <= c <= max_df]
+        idx = np.nonzero((df >= min_df) & (df <= max_df))[0]
+        if params.max_feature > 0 and len(idx) > params.max_feature:
+            vk = _void_keys(blob, offs, idx)
+            dkey = -df[idx] if params.keep_frequent_feature else df[idx]
+            order = np.lexsort((vk, dkey))
+            idx = idx[order[: params.max_feature]]
+        order = np.argsort(_void_keys(blob, offs, idx))
+        idx = idx[order]
+        dfs = df[idx].astype(np.float64)
+        if params.use_idf:
+            s = 1.0 if params.smooth_idf else 0.0
+            idf = np.log((n_doc + s) / (dfs + s))
+            if params.add_one_idf:
+                idf += 1.0
+        else:
+            idf = np.ones(len(idx))
+        obj = cls(params, None, idf.astype(np.float32))
+        # repack selected tokens in column order
+        lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+        new_offs = np.zeros(len(idx) + 1, np.int64)
+        new_offs[1:] = np.cumsum(lens)
+        src = np.frombuffer(blob, np.uint8)
+        if len(idx):
+            within = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+            pos = np.repeat(offs[idx], lens) + within
+            packed = src[pos].tobytes()
+        else:
+            packed = b""
+        obj._tok_storage = (packed, new_offs)
+        h = shash[idx]
+        horder = np.argsort(h)
+        obj._hash_sorted = h[horder]
+        obj._col_sorted = np.arange(len(idx), dtype=np.int64)[horder]
+        return obj
+
+    @staticmethod
+    def _select_vocab(items, params, n_doc):
+        """df pruning + feature cap + deterministic ordering
+        (tfidf.hpp BaseVectorizer::train df-threshold logic)."""
+        min_df = max(params.min_df_cnt, int(np.ceil(params.min_df_ratio * n_doc)))
+        max_df = n_doc if params.max_df_cnt < 0 else params.max_df_cnt
+        max_df = min(max_df, int(np.floor(params.max_df_ratio * n_doc)))
+        items = [(t, c) for t, c in items if min_df <= c <= max_df]
         if params.max_feature > 0 and len(items) > params.max_feature:
             # keep most or least frequent features per keep_frequent_feature
             items.sort(key=lambda tc: (-tc[1] if params.keep_frequent_feature else tc[1], tc[0]))
@@ -164,39 +339,93 @@ class _TfidfBase:
                 idf += 1.0
         else:
             idf = np.ones(len(items))
-        return cls(params, vocab, idf.astype(np.float32))
+        return vocab, idf.astype(np.float32)
+
+    @classmethod
+    def train(cls, corpus: Sequence[str], params: TfidfBaseParams) -> "_TfidfBase":
+        lo, hi = params.ngram_range
+        n_doc = len(corpus)
+        if _load_tok_lib() is not None:
+            res = _native_count(
+                corpus, params.analyzer, lo, hi, params.truncate_length, want_strings=True
+            )
+            doc_indptr, hashes, counts, (blob, soffs, shash) = res
+            uh, df = np.unique(hashes, return_counts=True)
+            if len(uh) == len(shash):  # no 64-bit collisions: fast path valid
+                df_of_token = df[np.searchsorted(uh, shash)]
+                return cls._from_native_vocab(params, blob, soffs, shash, df_of_token, n_doc)
+        # pure-Python fallback (no native toolchain, or a hash collision)
+        df_ctr = Counter()
+        for text in corpus:
+            units = _tokenize(text, params.analyzer, params.truncate_length)
+            df_ctr.update(set(_ngrams(units, params.analyzer, lo, hi)))
+        vocab, idf = cls._select_vocab(list(df_ctr.items()), params, n_doc)
+        return cls(params, vocab, idf)
 
     @property
     def nr_features(self) -> int:
-        return len(self.vocab)
+        if self._vocab is None and self._tok_storage is not None:
+            return len(self._tok_storage[1]) - 1
+        return len(self._vocab)
+
+    def _hash_lookup_tables(self):
+        if self._hash_sorted is None:
+            h = _hash_tokens(list(self.vocab.keys()))
+            order = np.argsort(h)
+            self._hash_sorted = h[order]
+            self._col_sorted = np.fromiter(self.vocab.values(), np.int64, len(self.vocab))[order]
+        return self._hash_sorted, self._col_sorted
 
     def predict(self, corpus: Sequence[str]) -> smat.csr_matrix:
         p = self.params
         lo, hi = p.ngram_range
-        indptr = [0]
-        indices: List[int] = []
-        data: List[float] = []
-        for text in corpus:
-            units = _tokenize(text, p.analyzer, p.truncate_length)
-            cnt = Counter(
-                self.vocab[g]
-                for g in _ngrams(units, p.analyzer, lo, hi)
-                if g in self.vocab
+        if _load_tok_lib() is not None:
+            doc_indptr, hashes, counts = _native_count(
+                corpus, p.analyzer, lo, hi, p.truncate_length, want_strings=False
             )
-            ks = sorted(cnt)
-            tf = np.array([cnt[k] for k in ks], dtype=np.float32)
+            hs, cs = self._hash_lookup_tables()
+            if len(hs):
+                pos = np.minimum(np.searchsorted(hs, hashes), len(hs) - 1)
+                valid = hs[pos] == hashes
+            else:
+                pos = np.zeros(len(hashes), np.int64)
+                valid = np.zeros(len(hashes), bool)
+            cols = cs[pos[valid]] if len(hs) else np.zeros(0, np.int64)
+            tf = counts[valid].astype(np.float32)
+            rows = np.repeat(np.arange(len(corpus)), np.diff(doc_indptr))[valid]
             if p.binary:
                 tf = np.ones_like(tf)
             elif p.sublinear_tf:
                 tf = 1.0 + np.log(tf)
-            vals = tf * self.idf[ks] if p.use_idf else tf
-            indices.extend(ks)
-            data.extend(vals.tolist())
-            indptr.append(len(indices))
-        X = smat.csr_matrix(
-            (np.array(data, np.float32), np.array(indices, np.int64), np.array(indptr)),
-            shape=(len(corpus), self.nr_features),
-        )
+            vals = tf * self.idf[cols] if p.use_idf else tf
+            X = smat.csr_matrix(
+                (vals, (rows, cols)), shape=(len(corpus), self.nr_features)
+            )
+        else:
+            indptr = [0]
+            indices: List[int] = []
+            data: List[float] = []
+            for text in corpus:
+                units = _tokenize(text, p.analyzer, p.truncate_length)
+                cnt = Counter(
+                    self.vocab[g]
+                    for g in _ngrams(units, p.analyzer, lo, hi)
+                    if g in self.vocab
+                )
+                ks = sorted(cnt)
+                tf = np.array([cnt[k] for k in ks], dtype=np.float32)
+                if p.binary:
+                    tf = np.ones_like(tf)
+                elif p.sublinear_tf:
+                    tf = 1.0 + np.log(tf)
+                vals = tf * self.idf[ks] if p.use_idf else tf
+                indices.extend(ks)
+                data.extend(vals.tolist())
+                indptr.append(len(indices))
+            X = smat.csr_matrix(
+                (np.array(data, np.float32), np.array(indices, np.int64), np.array(indptr)),
+                shape=(len(corpus), self.nr_features),
+            )
         if p.norm in ("l1", "l2"):
             X = smat_util.normalize(X, axis=1, norm=p.norm)
         return X
