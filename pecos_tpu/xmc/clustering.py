@@ -14,7 +14,7 @@ at the median rank (clustering.hpp:202-212, "rank-based balancing") — becomes:
 Everything is static-shape and jit-compiled per level; the level loop runs in
 Python over a static depth (~log2(L/max_leaf_size)).
 
-Balance semantics match the reference's strict mode (imbalanced_ratio=0):
+Balance semantics match the reference (strictly balanced rank-split):
 each split puts ceil(n/2) labels with the larger scores into the right child.
 """
 
@@ -196,8 +196,6 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
         # dense (L, proj_dim) matrix regardless of the raw feature width)
         max_cluster_feature_dim: int = 100_000
         proj_dim: int = 512
-        imbalanced_ratio: float = 0.0
-        imbalanced_depth: int = 100
         spherical: bool = True
         seed: int = 0
         kmeans_max_iter: int = 20
@@ -217,12 +215,12 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
     ) -> ClusterChain:
         params = cls.TrainParams.from_dict(train_params)
         params.override_with_kwargs(kwargs)
-        if params.nr_splits & (params.nr_splits - 1) != 0:
-            raise ValueError(f"nr_splits must be a power of 2, got {params.nr_splits}")
-        if params.imbalanced_ratio != 0.0:
-            LOGGER.warning(
-                "imbalanced_ratio != 0 is not supported by the TPU indexer; using strict balance"
-            )
+        # nr_splits need not be a power of 2: the binary tree is built to
+        # max_leaf_size depth and upper levels group leaves nr_splits at a
+        # time, exactly the reference recipe (xmc/base.py:191,
+        # cluster_util.py:164 `cur_codes // nr_splits`)
+        if params.nr_splits < 2:
+            raise ValueError(f"nr_splits must be >= 2, got {params.nr_splits}")
         nr_labels = feat_mat.shape[0]
         if nr_labels <= params.max_leaf_size:
             return ClusterChain(

@@ -37,6 +37,58 @@ SOLVER_LR_PRIMAL = "L2R_LR_PRIMAL"
 
 _LS_STEPS = 8  # backtracking halvings evaluated per line search (vectorized)
 
+# Huberized (smoothed) L1 hinge: quadratic on [1-gamma, 1], linear below.
+# Newton needs a twice-differentiable objective, so L2R_L1LOSS_SVC_DUAL maps
+# to this primal smoothing (solution within O(gamma) of the exact L1-hinge
+# SVM; reference solves the exact dual sequentially, linear_solver.hpp:419-528)
+_L1_SMOOTH_GAMMA = 0.01  # final smoothing width
+_L1_GAMMA_STAGES = (0.2, 0.05, 0.01)  # continuation schedule, warm-started
+
+
+def _xi(loss: str, ym: jax.Array, gamma: float = _L1_SMOOTH_GAMMA) -> jax.Array:
+    """Per-pair loss value as a function of the margin z = y*m."""
+    if loss == "sqhinge":
+        return jnp.maximum(1.0 - ym, 0.0) ** 2
+    if loss == "logistic":
+        return jnp.log1p(jnp.exp(-jnp.abs(ym))) + jnp.maximum(-ym, 0.0)
+    if loss == "l1hinge":
+        g = gamma
+        return jnp.where(
+            ym >= 1.0,
+            0.0,
+            jnp.where(ym >= 1.0 - g, (1.0 - ym) ** 2 / (2.0 * g), 1.0 - ym - g / 2.0),
+        )
+    raise ValueError(loss)
+
+
+def _dxi(loss: str, y: jax.Array, ym: jax.Array, gamma: float = _L1_SMOOTH_GAMMA) -> jax.Array:
+    """d xi / d m (the y chain factor included)."""
+    if loss == "sqhinge":
+        return -2.0 * y * jnp.maximum(1.0 - ym, 0.0)
+    if loss == "logistic":
+        return -y * jax.nn.sigmoid(-ym)
+    if loss == "l1hinge":
+        g = gamma
+        dz = jnp.where(
+            ym >= 1.0, 0.0, jnp.where(ym >= 1.0 - g, -(1.0 - ym) / g, -1.0)
+        )
+        return y * dz
+    raise ValueError(loss)
+
+
+def _hess_w(loss: str, c: jax.Array, ym: jax.Array, gamma: float = _L1_SMOOTH_GAMMA) -> jax.Array:
+    """Diagonal curvature weights d^2 xi / d m^2 (times cost c)."""
+    f32 = jnp.float32
+    if loss == "sqhinge":
+        return 2.0 * c * (ym < 1.0).astype(f32)
+    if loss == "logistic":
+        s = jax.nn.sigmoid(ym)
+        return c * s * (1.0 - s)
+    if loss == "l1hinge":
+        g = gamma
+        return c * ((ym >= 1.0 - g) & (ym < 1.0)).astype(f32) / g
+    raise ValueError(loss)
+
 
 @functools.partial(
     jax.jit, static_argnames=("loss", "max_newton", "cg_max")
@@ -65,31 +117,15 @@ def _solve_core(X, y, c, *, loss, eps, max_newton, cg_max):
     def margins(W):
         return jnp.dot(X, W, preferred_element_type=f32)  # (N, Lb)
 
-    def obj(m):
-        ym = y * m
-        if loss == "sqhinge":
-            xi = jnp.maximum(1.0 - ym, 0.0) ** 2
-        elif loss == "logistic":
-            xi = jnp.log1p(jnp.exp(-jnp.abs(ym))) + jnp.maximum(-ym, 0.0)
-        else:
-            raise ValueError(loss)
-        return jnp.sum(c * xi, axis=0)  # (Lb,)
+    def obj(m, gamma=_L1_SMOOTH_GAMMA):
+        return jnp.sum(c * _xi(loss, y * m, gamma), axis=0)  # (Lb,)
 
-    def grad_vec(W, m):
-        ym = y * m
-        if loss == "sqhinge":
-            dxi = -2.0 * y * jnp.maximum(1.0 - ym, 0.0)
-        else:  # logistic: -y * sigmoid(-ym)
-            dxi = -y * jax.nn.sigmoid(-ym)
+    def grad_vec(W, m, gamma=_L1_SMOOTH_GAMMA):
+        dxi = _dxi(loss, y, y * m, gamma)
         return W + jnp.dot(X.T, c * dxi, preferred_element_type=f32)  # (D, Lb)
 
-    def hess_weights(m):
-        ym = y * m
-        if loss == "sqhinge":
-            return 2.0 * c * (ym < 1.0).astype(f32)
-        else:
-            s = jax.nn.sigmoid(ym)
-            return c * s * (1.0 - s)
+    def hess_weights(m, gamma=_L1_SMOOTH_GAMMA):
+        return _hess_w(loss, c, y * m, gamma)
 
     def cg(h, g, active):
         """Solve (I + X^T diag(h) X) d = -g per label; returns d (D, Lb)."""
@@ -120,18 +156,18 @@ def _solve_core(X, y, c, *, loss, eps, max_newton, cg_max):
         d, _, _, _ = jax.lax.fori_loop(0, cg_max, body, (d0, r0, p0, rs0))
         return d
 
-    def newton_step(W, m, g, active):
-        h = hess_weights(m)
+    def newton_step(W, m, g, active, gamma):
+        h = hess_weights(m, gamma)
         d = cg(h, g, active)
         Xd = jnp.dot(X, d, preferred_element_type=f32)  # (N, Lb)
         gTd = jnp.sum(g * d, axis=0)  # (Lb,) (should be < 0)
-        f0 = 0.5 * jnp.sum(W * W, axis=0) + obj(m)
+        f0 = 0.5 * jnp.sum(W * W, axis=0) + obj(m, gamma)
         # vectorized backtracking: evaluate steps 1, 1/2, ..., pick first Armijo-ok
         steps = 0.5 ** jnp.arange(_LS_STEPS, dtype=f32)  # (S,)
 
         def f_at(step):
             Wn_sq = 0.5 * jnp.sum((W + step * d) ** 2, axis=0)
-            return Wn_sq + obj(m + step * Xd)
+            return Wn_sq + obj(m + step * Xd, gamma)
 
         fs = jax.vmap(f_at)(steps)  # (S, Lb)
         armijo = fs <= f0[None, :] + 0.01 * steps[:, None] * gTd[None, :]
@@ -144,29 +180,38 @@ def _solve_core(X, y, c, *, loss, eps, max_newton, cg_max):
         m = m + step[None, :] * Xd
         return W, m
 
-    W0 = jnp.zeros((D, Lb), f32)
-    m0 = jnp.zeros((N, Lb), f32)
-    g_init = grad_vec(W0, m0)
-    gnorm0 = jnp.linalg.norm(g_init, axis=0)  # (Lb,)
+    def newton_phase(W, m, gamma, iters):
+        gnorm0 = jnp.linalg.norm(grad_vec(W, m, gamma), axis=0)  # (Lb,)
 
-    def cond(carry):
-        it, W, m, done = carry
-        return (it < max_newton) & jnp.logical_not(jnp.all(done))
+        def cond(carry):
+            it, W, m, done = carry
+            return (it < iters) & jnp.logical_not(jnp.all(done))
 
-    def body(carry):
-        it, W, m, done = carry
-        g = grad_vec(W, m)
-        gnorm = jnp.linalg.norm(g, axis=0)
-        active = jnp.logical_not(done)
-        # one extra Newton step is taken on the iteration the criterion fires,
-        # so the converged gradient bound is actually achieved post-step
-        W, m = newton_step(W, m, g, active)
-        done = done | (gnorm <= eps * jnp.maximum(gnorm0, 1e-12))
-        return it + 1, W, m, done
+        def body(carry):
+            it, W, m, done = carry
+            g = grad_vec(W, m, gamma)
+            gnorm = jnp.linalg.norm(g, axis=0)
+            active = jnp.logical_not(done)
+            # one extra Newton step is taken on the iteration the criterion
+            # fires, so the converged gradient bound is achieved post-step
+            W, m = newton_step(W, m, g, active, gamma)
+            done = done | (gnorm <= eps * jnp.maximum(gnorm0, 1e-12))
+            return it + 1, W, m, done
 
-    _, W, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), W0, m0, jnp.zeros((Lb,), bool))
-    )
+        _, W, m, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), W, m, jnp.zeros((Lb,), bool))
+        )
+        return W, m
+
+    W = jnp.zeros((D, Lb), f32)
+    m = jnp.zeros((N, Lb), f32)
+    if loss == "l1hinge":
+        # continuation: heavy smoothing first, warm-start the sharper stages
+        # (Newton on the 1/gamma-stiff Hessian diverges from a cold start)
+        for gamma in _L1_GAMMA_STAGES:
+            W, m = newton_phase(W, m, gamma, max_newton)
+    else:
+        W, _ = newton_phase(W, m, _L1_SMOOTH_GAMMA, max_newton)
     return W
 
 
@@ -250,28 +295,14 @@ def solve_sparse_rows(
         return out.at[x_ids].add(contrib)
 
     def obj(m):
-        ym = y * m
-        if loss == "sqhinge":
-            xi = jnp.maximum(1.0 - ym, 0.0) ** 2
-        else:
-            xi = jnp.log1p(jnp.exp(-jnp.abs(ym))) + jnp.maximum(-ym, 0.0)
-        return jnp.sum(c * xi, axis=0)
+        return jnp.sum(c * _xi(loss, y * m), axis=0)
 
     def grad_vec(W, m):
-        ym = y * m
-        if loss == "sqhinge":
-            dxi = -2.0 * y * jnp.maximum(1.0 - ym, 0.0)
-        else:
-            dxi = -y * jax.nn.sigmoid(-ym)
-        g = W + xt_apply(c * dxi)
+        g = W + xt_apply(c * _dxi(loss, y, y * m))
         return g.at[Db].set(0.0)  # padding row carries nothing
 
     def hess_weights(m):
-        ym = y * m
-        if loss == "sqhinge":
-            return 2.0 * c * (ym < 1.0).astype(f32)
-        s = jax.nn.sigmoid(ym)
-        return c * s * (1.0 - s)
+        return _hess_w(loss, c, y * m)
 
     def cg(h, g, active):
         def hv(v):
@@ -341,13 +372,10 @@ def solve_sparse_rows(
 
 def loss_name(solver_type: str) -> str:
     st = solver_type.upper()
-    if st in (SOLVER_SQHINGE, SOLVER_SQHINGE_DUAL, "L2R_L1LOSS_SVC_DUAL"):
-        if st == "L2R_L1LOSS_SVC_DUAL":
-            raise NotImplementedError(
-                "L1-hinge SVC is not yet supported by the TPU primal solver; "
-                "use L2R_L2LOSS_SVC_DUAL (squared hinge)"
-            )
+    if st in (SOLVER_SQHINGE, SOLVER_SQHINGE_DUAL):
         return "sqhinge"
+    if st == "L2R_L1LOSS_SVC_DUAL":
+        return "l1hinge"  # smoothed primal equivalent (see _L1_SMOOTH_GAMMA)
     if st in (SOLVER_LR, SOLVER_LR_PRIMAL):
         return "logistic"
     raise ValueError(f"unknown solver_type {solver_type!r}")

@@ -133,3 +133,17 @@ def test_random_projection_clustering():
     assert len(set(top_assign[:32])) == 1
     assert len(set(top_assign[32:])) == 1
     assert top_assign[0] != top_assign[-1]
+
+
+def test_non_power_of_two_nr_splits():
+    """Reference groups binary-tree leaves nr_splits at a time with integer
+    division (cluster_util.py:164), so any nr_splits >= 2 is valid."""
+    rng = np.random.default_rng(3)
+    feats = rng.standard_normal((100, 8)).astype(np.float32)
+    chain = Indexer.gen(feats, nr_splits=5, max_leaf_size=4)
+    assert chain.nr_labels == 100
+    for C in chain:  # every child has exactly one parent
+        assert (np.diff(C.tocsr().indptr) == 1).all()
+    # internal out-degree bounded by nr_splits
+    for C in chain[:-1]:
+        assert np.diff(C.tocsc().indptr).max() <= 5

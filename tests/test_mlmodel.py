@@ -213,3 +213,36 @@ def test_bucketed_big_cluster_path_matches_dense(monkeypatch):
     Wd = np.asarray(m_dense.W.todense())
     Wb = np.asarray(m_big.W.todense())
     assert np.allclose(Wd, Wb, atol=5e-2), np.abs(Wd - Wb).max()
+
+
+def test_l1_hinge_solver_vs_sklearn():
+    """L2R_L1LOSS_SVC_DUAL maps to the smoothed-primal L1 hinge; its solution
+    must achieve an exact-hinge objective within ~2% of sklearn's dual solver
+    (reference solver: linear_solver.hpp:419-528)."""
+    from sklearn.svm import LinearSVC
+
+    X, Y = _toy_problem(n=80, d=6, L=2, seed=2)
+    prob = MLProblem(X, Y)
+    tp = MLModel.TrainParams(
+        threshold=0.0,
+        bias=1.0,
+        solver_type="L2R_L1LOSS_SVC_DUAL",
+        newton_eps=1e-4,
+        max_newton_iter=100,
+    )
+    model = MLModel.train(prob, train_params=tp)
+    W = np.asarray(model.W.todense())
+
+    Xd = np.asarray(X.todense())
+    Xb = np.hstack([Xd, np.ones((Xd.shape[0], 1), np.float32)])
+    for l in range(2):
+        y = np.where(np.asarray(Y[:, l].todense()).ravel() > 0, 1.0, -1.0)
+        sk = LinearSVC(loss="hinge", C=1.0, fit_intercept=False, tol=1e-6, max_iter=200000)
+        sk.fit(Xb, y)
+
+        def hinge_obj(w):
+            margins = y * (Xb @ w)
+            return 0.5 * (w @ w) + np.maximum(1.0 - margins, 0.0).sum()
+
+        ours, theirs = hinge_obj(W[:, l]), hinge_obj(sk.coef_.ravel())
+        assert ours <= theirs * 1.02 + 1e-6, (ours, theirs)
