@@ -52,6 +52,11 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         max_steps: int = 0
         max_active_matching_labels: int = 64
         max_grad_norm: float = 1.0
+        gradient_accumulation_steps: int = 1
+        save_steps: int = 0  # eval on val split + keep-best every N optimizer steps
+        init_model_dir: str = ""  # warm start from a saved TransformerMatcher
+        threshold: float = 0.1  # concat-model weight pruning
+        cost_sensitive_ranker: bool = False
         Cp: float = 1.0
         Cn: float = 1.0
         seed: int = 0
@@ -62,14 +67,20 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         only_topk: int = 20
         post_processor: str = "noop"
         truncate_length: int = 128
+        # transformer-only | concat-only | average | rank_average |
+        # sigmoid_average | softmax_average | round_robin — any value other
+        # than transformer-only trains a per-level concat MLModel on
+        # [X_feat || embeddings] when X_feat is available (ref matcher.py:1420)
+        ensemble_method: str = "transformer-only"
 
-    def __init__(self, encoder, tokenizer, head: network.XMCHead, C=None, train_params=None, pred_params=None):
+    def __init__(self, encoder, tokenizer, head: network.XMCHead, C=None, train_params=None, pred_params=None, concat_model=None):
         self.encoder = encoder
         self.tokenizer = tokenizer
         self.head = head
         self.C = C.tocsc() if C is not None else None
         self.train_params = self.TrainParams.from_dict(train_params)
         self.pred_params = self.PredParams.from_dict(pred_params)
+        self.concat_model = concat_model
 
     @property
     def nr_labels(self):
@@ -111,6 +122,8 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         train_params=None,
         pred_params=None,
         parent_matcher: Optional["TransformerMatcher"] = None,
+        val_prob: Optional[MLProblemWithText] = None,
+        val_csr_codes: Optional[smat.csr_matrix] = None,
         mesh=None,
         **kwargs,
     ) -> Tuple["TransformerMatcher", smat.csr_matrix, np.ndarray]:
@@ -118,8 +131,14 @@ class TransformerMatcher(pecos_tpu.BaseClass):
 
         ``mesh``: optional jax Mesh with a "dp" axis — batches are sharded
         over it and XLA runs fully data-parallel fine-tuning with replicated
-        params (the TPU replacement for the reference's DeepSpeed/NCCL
-        distributed encoder training, distributed/xmc/xtransformer).
+        params; AdamW moments shard over the same devices (the TPU
+        replacement for the reference's DeepSpeed/NCCL + ZeRO stack,
+        distributed/xmc/xtransformer, dist_trainer.py:163).
+
+        ``val_prob`` + TrainParams.save_steps: every save_steps optimizer
+        steps the validation P@1 is computed with the live parameters and the
+        best snapshot is restored after training (reference checkpoint-best,
+        matcher.py:1393-1398).
         """
         import optax
 
@@ -129,6 +148,10 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         pred_params.truncate_length = train_params.truncate_length
         rng = np.random.default_rng(train_params.seed)
 
+        if parent_matcher is None and train_params.init_model_dir:
+            # warm start (reference matcher.py:104-106, :1304-1314)
+            parent_matcher = cls.load(train_params.init_model_dir)
+            LOGGER.info("warm start from %s", train_params.init_model_dir)
         if parent_matcher is not None:
             encoder, tokenizer = parent_matcher.encoder, parent_matcher.tokenizer
         else:
@@ -196,11 +219,34 @@ class TransformerMatcher(pecos_tpu.BaseClass):
             optax.clip_by_global_norm(train_params.max_grad_norm),
             optax.adamw(schedule, weight_decay=train_params.weight_decay),
         )
+        accum = max(1, train_params.gradient_accumulation_steps)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
         params = {
             "encoder": encoder.params,
             "head": {"W": jnp.asarray(head.W), "b": jnp.asarray(head.b)},
         }
         opt_state = tx.init(params)
+        if mesh is not None:
+            # ZeRO-analog: shard optimizer moments across every mesh device
+            # along the first divisible axis; params stay replicated (the
+            # role DeepSpeed ZeRO stage-1 plays in the reference)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh_axes = tuple(mesh.shape.keys())
+            n_dev = int(np.prod(list(mesh.shape.values())))
+
+            def shard_moment(leaf):
+                if not hasattr(leaf, "shape") or leaf.ndim == 0:
+                    return leaf
+                for ax in range(leaf.ndim):
+                    if leaf.shape[ax] % n_dev == 0 and leaf.shape[ax] >= n_dev:
+                        spec = [None] * leaf.ndim
+                        spec[ax] = mesh_axes
+                        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+                return leaf
+
+            opt_state = jax.tree_util.tree_map(shard_moment, opt_state)
 
         @jax.jit
         def train_step(params, opt_state, batch, dropout_key):
@@ -236,11 +282,46 @@ class TransformerMatcher(pecos_tpu.BaseClass):
             a = jnp.asarray(a)
             return jax.device_put(a, batch_sharding) if batch_sharding is not None else a
 
+        # ---- optional validation scorer (checkpoint-best) --------------------
+        val_toks = None
+        if val_prob is not None and train_params.save_steps > 0:
+            val_toks = tokenize_corpus(tokenizer, val_prob.X_text, train_params.truncate_length)
+            Y_val = val_prob.Y.tocsr()
+
+            @jax.jit
+            def _val_scores(p, ii, am):
+                out = encoder(
+                    input_ids=ii, attention_mask=am, params=p["encoder"], train=False
+                )
+                emb = network.pooled_embedding(out, am)
+                return jnp.dot(emb, p["head"]["W"][:L].T) + p["head"]["b"][:L][None, :]
+
+            def val_p1(p) -> float:
+                Nv = val_toks["input_ids"].shape[0]
+                hits = 0
+                for s in range(0, Nv, B):
+                    ii = val_toks["input_ids"][s : s + B]
+                    am = val_toks["attention_mask"][s : s + B]
+                    pad = B - ii.shape[0]
+                    if pad:
+                        ii = np.vstack([ii, np.zeros((pad, ii.shape[1]), ii.dtype)])
+                        am = np.vstack([am, np.zeros((pad, am.shape[1]), am.dtype)])
+                    top1 = np.asarray(
+                        jnp.argmax(_val_scores(p, jnp.asarray(ii), jnp.asarray(am)), axis=1)
+                    )[: B - pad if pad else B]
+                    rows = np.arange(s, s + len(top1))
+                    hits += int(np.asarray(Y_val[rows, top1]).sum())
+                return hits / max(Nv, 1)
+
+        best_p1 = -1.0
+        best_params = None
         key = jax.random.PRNGKey(train_params.seed)
         step = 0
+        opt_steps = 0
+        total_micro = total_steps * accum
         order = np.arange(N)
         done = False
-        for epoch in range(max(1, train_params.num_train_epochs)):
+        for epoch in range(max(1, train_params.num_train_epochs * accum)):
             rng.shuffle(order)
             for s in range(0, N - B + 1, B) if N >= B else [0]:
                 idx = order[s : s + B]
@@ -258,13 +339,32 @@ class TransformerMatcher(pecos_tpu.BaseClass):
                 key, sub = jax.random.split(key)
                 params, opt_state, loss = train_step(params, opt_state, batch, sub)
                 step += 1
+                opt_steps = step // accum
                 if step % 50 == 0:
-                    LOGGER.info(f"step {step}/{total_steps} loss={float(loss):.5f}")
-                if step >= total_steps:
+                    LOGGER.info(f"step {opt_steps}/{total_steps} loss={float(loss):.5f}")
+                if (
+                    val_toks is not None
+                    and step % (train_params.save_steps * accum) == 0
+                ):
+                    p1 = val_p1(params)
+                    LOGGER.info(f"val P@1 at step {opt_steps}: {p1:.4f}")
+                    if p1 > best_p1:
+                        best_p1 = p1
+                        best_params = jax.device_get(params)
+                if step >= total_micro:
                     done = True
                     break
             if done:
                 break
+
+        if best_params is not None:
+            # final eval so the last steps can still win; then restore best
+            p1 = val_p1(params)
+            if p1 > best_p1:
+                best_p1 = p1
+            else:
+                params = jax.tree_util.tree_map(jnp.asarray, best_params)
+            LOGGER.info(f"best val P@1: {best_p1:.4f}")
 
         # write back trained params
         encoder.params = jax.device_get(params["encoder"])
@@ -274,7 +374,48 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         )
         matcher = cls(encoder, tokenizer, head, C=C, train_params=train_params, pred_params=pred_params)
         trn_pred, trn_emb = matcher.predict(prob.X_text, csr_codes=csr_codes)
+
+        # ---- per-level concat model (reference matcher.py:1420-1452) ---------
+        if (
+            pred_params.ensemble_method != "transformer-only"
+            and getattr(prob, "X_feat", None) is not None
+        ):
+            from pecos_tpu.xmc import MLModel, MLProblem
+
+            X_cat = cls.concat_features(prob.X_feat, trn_emb)
+            M_cluster = None
+            if C is not None:
+                M_cluster = csr_codes if csr_codes is not None else (prob.Y @ C).tocsr()
+            R_rank = (
+                smat_util.normalize(prob.Y.tocsr(), axis=1, norm="l1")
+                if train_params.cost_sensitive_ranker
+                else None
+            )
+            lprob = MLProblem(
+                X_cat, prob.Y.tocsc(), C=C if M_cluster is not None else None,
+                M=M_cluster, R=R_rank,
+            )
+            matcher.concat_model = MLModel.train(
+                lprob, train_params=MLModel.TrainParams(threshold=train_params.threshold)
+            )
+            concat_pred = matcher.concat_model.predict(
+                X_cat,
+                csr_codes=csr_codes,
+                only_topk=pred_params.only_topk,
+                post_processor=pred_params.post_processor,
+            )
+            trn_pred = cls.ensemble_prediction(
+                trn_pred, concat_pred, pred_params.only_topk, pred_params.ensemble_method
+            )
         return matcher, trn_pred, trn_emb
+
+    @staticmethod
+    def concat_features(X_feat, emb: np.ndarray) -> smat.csr_matrix:
+        """[X_feat || l2-normalized embeddings] (reference concat_features)."""
+        emb_norm = smat_util.normalize(np.asarray(emb, np.float32), axis=1, norm="l2")
+        if X_feat is None:
+            return smat.csr_matrix(emb_norm)
+        return smat_util.hstack_csr([X_feat.tocsr(), smat.csr_matrix(emb_norm)])
 
     # ------------------------------------------------------------------ predict
     def _embed(self, toks, batch_size: int = 64) -> np.ndarray:
@@ -302,9 +443,14 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         corpus: Sequence[str],
         csr_codes: Optional[smat.csr_matrix] = None,
         pred_params=None,
+        X_feat: Optional[smat.spmatrix] = None,
         **kwargs,
     ) -> Tuple[smat.csr_matrix, np.ndarray]:
-        """Returns (pred_csr over this level's labels, pooled embeddings)."""
+        """Returns (pred_csr over this level's labels, pooled embeddings).
+
+        With a trained concat_model, an X_feat argument and an ensembling
+        pred_params.ensemble_method, the transformer scores are micro-ensembled
+        with the concat model's (reference matcher.py:581-863)."""
         pred_params = self.get_pred_params() if pred_params is None else self.PredParams.from_dict(pred_params)
         pred_params.override_with_kwargs(kwargs)
         toks = tokenize_corpus(self.tokenizer, corpus, pred_params.truncate_length)
@@ -322,6 +468,20 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         P = smat_util.topk_csr_from_dense(
             np.where(np.isfinite(val), val, -1e30), pred_params.only_topk
         )
+        if (
+            self.concat_model is not None
+            and pred_params.ensemble_method != "transformer-only"
+        ):
+            X_cat = self.concat_features(X_feat, emb)
+            concat_pred = self.concat_model.predict(
+                X_cat,
+                csr_codes=csr_codes,
+                only_topk=pred_params.only_topk,
+                post_processor=pred_params.post_processor,
+            )
+            P = self.ensemble_prediction(
+                P, concat_pred, pred_params.only_topk, pred_params.ensemble_method
+            )
         return P, emb.astype(np.float32)
 
     def get_pred_params(self):
@@ -365,6 +525,8 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         np.savez(os.path.join(folder, "head.npz"), W=self.head.W, b=self.head.b)
         if self.C is not None:
             smat_util.save_matrix(os.path.join(folder, "C.npz"), self.C)
+        if self.concat_model is not None:
+            self.concat_model.save(os.path.join(folder, "concat_model"))
 
     @classmethod
     def load(cls, folder: str) -> "TransformerMatcher":
@@ -385,4 +547,12 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         pred_params = {
             k: v for k, v in param["pred_params"].items() if k != "__meta__"
         }
-        return cls(encoder, tokenizer, head, C=C, train_params=train_params, pred_params=pred_params)
+        concat_model = None
+        if os.path.isdir(os.path.join(folder, "concat_model")):
+            from pecos_tpu.xmc import MLModel
+
+            concat_model = MLModel.load(os.path.join(folder, "concat_model"))
+        return cls(
+            encoder, tokenizer, head, C=C, train_params=train_params,
+            pred_params=pred_params, concat_model=concat_model,
+        )

@@ -118,9 +118,35 @@ class XTransformer(pecos_tpu.BaseClass):
                     parent_matcher=matcher,
                 )
         else:
-            raise NotImplementedError(
-                "do_fine_tune=False (frozen-encoder mode) arrives with warm-start loading"
-            )
+            # frozen-encoder mode (reference model.py:271-303): load a saved
+            # matcher (init_model_dir) or the pretrained encoder as-is — no
+            # fine-tuning; its embeddings feed the phase-3 concat ranker
+            mp = matcher_params if not isinstance(matcher_params, list) else matcher_params[0]
+            mp = TransformerMatcher.TrainParams.from_dict(mp)
+            if mp.init_model_dir:
+                matcher = TransformerMatcher.load(mp.init_model_dir)
+                LOGGER.info("loaded frozen encoder from %s", mp.init_model_dir)
+            else:
+                encoder, tokenizer = TransformerMatcher.download_model(mp)
+                hidden = (
+                    encoder.config.dim
+                    if hasattr(encoder.config, "dim")
+                    else encoder.config.hidden_size
+                )
+                from . import network
+
+                head = network.XMCHead.random(Y.shape[1], hidden, seed=mp.seed)
+                matcher = TransformerMatcher(
+                    encoder,
+                    tokenizer,
+                    head,
+                    train_params=mp,
+                    pred_params=TransformerMatcher.PredParams(
+                        truncate_length=mp.truncate_length
+                    ),
+                )
+            if not train_params.only_encoder:
+                _, trn_emb = matcher.predict(prob.X_text)
 
         if train_params.only_encoder:
             return cls(matcher, None)

@@ -36,9 +36,29 @@ class MLProblemWithText:
         return self.Y.shape[1]
 
 
-def tokenize_corpus(tokenizer, corpus: Sequence[str], truncate_length: int = 128):
-    """Pre-tokenize the whole corpus into fixed-shape arrays (the reference
-    caches these as .pt shards, matcher.py:1329-1358; here plain np arrays)."""
+def tokenize_corpus(
+    tokenizer, corpus: Sequence[str], truncate_length: int = 128, cache_dir: Optional[str] = None
+):
+    """Pre-tokenize the whole corpus into fixed-shape arrays.
+
+    With ``cache_dir`` the arrays are persisted to an npz keyed by a content
+    hash of (corpus, truncate_length, tokenizer class) — the analog of the
+    reference's tokenized .pt shard cache (matcher.py:1329-1358)."""
+    cache_path = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        h.update(type(tokenizer).__name__.encode())
+        h.update(str(truncate_length).encode())
+        for t in corpus:
+            h.update(t.encode("utf-8", "ignore"))
+            h.update(b"\x00")
+        cache_path = os.path.join(cache_dir, f"tokens_{h.hexdigest()[:24]}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            return {"input_ids": z["input_ids"], "attention_mask": z["attention_mask"]}
     enc = tokenizer(
         list(corpus),
         padding="max_length",
@@ -46,10 +66,16 @@ def tokenize_corpus(tokenizer, corpus: Sequence[str], truncate_length: int = 128
         max_length=truncate_length,
         return_tensors="np",
     )
-    return {
+    out = {
         "input_ids": enc["input_ids"].astype(np.int32),
         "attention_mask": enc["attention_mask"].astype(np.int32),
     }
+    if cache_path is not None:
+        import os
+
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(cache_path, **out)
+    return out
 
 
 def build_active_label_batches(

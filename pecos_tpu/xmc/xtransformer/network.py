@@ -42,6 +42,13 @@ ENCODER_CLASSES: Dict[str, Dict[str, str]] = {
 def resolve_encoder(model_type: str):
     import transformers
 
+    if model_type == "xlnet":
+        # the reference's 5th family (network.py:225-528); transformers ships
+        # no Flax XLNet implementation, so it cannot run on the TPU path
+        raise ValueError(
+            "xlnet has no Flax implementation in transformers; choose one of "
+            f"{sorted(ENCODER_CLASSES)}"
+        )
     if model_type not in ENCODER_CLASSES:
         raise ValueError(
             f"unsupported encoder type {model_type!r}; supported: {sorted(ENCODER_CLASSES)}"

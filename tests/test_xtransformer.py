@@ -158,3 +158,70 @@ def test_ensemble_prediction_modes(tiny_setup):
         P = xtf.predict(corpus[:16], X_feat=X_feat[:16], ens_method=m, only_topk=3)
         assert P.shape == (16, Y.shape[1]), m
         assert P.nnz > 0, m
+
+
+def test_matcher_amenities(tiny_setup, tmp_path):
+    """Grad accumulation + val checkpoint-best + warm start + concat model
+    (reference matcher.py:942-1496 training amenities)."""
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, TransformerMatcher
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y, X_feat=X_feat)
+    val_prob = MLProblemWithText(corpus[:32], Y[:32])
+    tp = _train_params(model_config, epochs=4)
+    tp.gradient_accumulation_steps = 2
+    tp.save_steps = 4
+    matcher, trn_pred, _ = TransformerMatcher.train(
+        prob,
+        train_params=tp,
+        pred_params=TransformerMatcher.PredParams(ensemble_method="average"),
+        val_prob=val_prob,
+    )
+    # concat model trained and ensembled
+    assert matcher.concat_model is not None
+    assert trn_pred.shape == (64, 8)
+    top1 = np.asarray(trn_pred.argmax(axis=1)).ravel()
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    assert (top1 == truth).mean() > 0.8
+
+    # save/load roundtrip keeps the concat model; warm start reuses it
+    out = str(tmp_path / "matcher_amen")
+    matcher.save(out)
+    loaded = TransformerMatcher.load(out)
+    assert loaded.concat_model is not None
+    P1, _ = loaded.predict(corpus, X_feat=X_feat)
+    P2, _ = matcher.predict(corpus, X_feat=X_feat)
+    assert (P1 != P2).nnz == 0
+
+    tp2 = _train_params(model_config, epochs=1)
+    tp2.init_model_dir = out
+    m2, _, _ = TransformerMatcher.train(prob, train_params=tp2)
+    assert m2.hidden_size == matcher.hidden_size
+
+
+def test_xtransformer_frozen_encoder(tiny_setup):
+    """do_fine_tune=False: pretrained/random encoder used as-is, embeddings
+    feed the concat ranker (reference model.py:271-303)."""
+    from pecos_tpu.xmc.xtransformer import MLProblemWithText, XTransformer
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    prob = MLProblemWithText(corpus, Y, X_feat=X_feat)
+    xt = XTransformer.train(
+        prob,
+        train_params={
+            "do_fine_tune": False,
+            "matcher_params_chain": {
+                "model_type": "distilbert",
+                "model_config": model_config,
+                "truncate_length": 16,
+            },
+            "preliminary_indexer_params": {"nr_splits": 4, "max_leaf_size": 4},
+            "fix_clustering": True,
+        },
+    )
+    P = xt.predict(corpus, X_feat=X_feat, beam_size=4, only_topk=3)
+    assert P.shape == (64, 8)
+    top1 = np.asarray(P.argmax(axis=1)).ravel()
+    truth = np.asarray(Y.argmax(axis=1)).ravel()
+    # frozen random encoder still separable through the concat ranker (X_feat)
+    assert (top1 == truth).mean() > 0.5
