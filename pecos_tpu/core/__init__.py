@@ -19,6 +19,7 @@ _HASH_PATH = _SO_PATH + ".srchash"
 _SOURCES = [
     os.path.join(_CORE_DIR, "mmap_store.cpp"),
     os.path.join(_CORE_DIR, "tokenizer.cpp"),
+    os.path.join(_CORE_DIR, "spgemm.cpp"),
 ]
 _SOURCES = [s for s in _SOURCES if os.path.exists(s)]
 

@@ -187,28 +187,27 @@ def block_diag_csc(mats: Sequence[smat.spmatrix]) -> smat.csc_matrix:
 # ---------------------------------------------------------------------------
 
 def sorted_csr(A: smat.csr_matrix, only_topk: Optional[int] = None) -> smat.csr_matrix:
-    """Return CSR whose row entries are sorted by descending value, truncated to top-k."""
+    """Return CSR whose row entries are sorted by descending value, truncated
+    to top-k. One global (row, -value) lexsort — no per-row Python (evaluating
+    millions of prediction rows must not cost more than predicting them)."""
     A = A.tocsr()
-    indptr = [0]
-    indices = []
-    data = []
-    for i in range(A.shape[0]):
-        s, e = A.indptr[i], A.indptr[i + 1]
-        idx = A.indices[s:e]
-        val = A.data[s:e]
-        order = np.argsort(-val, kind="stable")
-        if only_topk is not None:
-            order = order[:only_topk]
-        indices.append(idx[order])
-        data.append(val[order])
-        indptr.append(indptr[-1] + len(order))
+    n = A.shape[0]
+    row_nnz = np.diff(A.indptr)
+    row = np.repeat(np.arange(n), row_nnz)
+    # stable lexsort: ties in value keep original column order, matching the
+    # previous per-row argsort(-val, kind="stable")
+    order = np.lexsort((-A.data, row))
+    rank = np.arange(A.nnz) - np.repeat(A.indptr[:-1], row_nnz)
+    if only_topk is not None:
+        keep = rank < only_topk
+        order = order[keep]
+        counts = np.minimum(row_nnz, only_topk)
+    else:
+        counts = row_nnz
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(counts)
     return smat.csr_matrix(
-        (
-            np.concatenate(data) if data else np.zeros(0, dtype=A.dtype),
-            np.concatenate(indices) if indices else np.zeros(0, dtype=A.indices.dtype),
-            np.array(indptr),
-        ),
-        shape=A.shape,
+        (A.data[order], A.indices[order], indptr), shape=A.shape
     )
 
 
@@ -443,17 +442,18 @@ class Metrics:
             raise ValueError(f"shape mismatch {tY.shape} vs {pY.shape}")
         tY = tY.tocsr()
         pY = sorted_csr(pY.tocsr(), only_topk=topk)
-        n = tY.shape[0]
+        n, L = tY.shape
+        num_true = np.maximum(np.diff(tY.indptr), 1).astype(np.float64)
+        # membership by global (row, label) keys — no per-row Python
+        p_nnz = np.diff(pY.indptr)
+        p_row = np.repeat(np.arange(n, dtype=np.int64), p_nnz)
+        p_rank = np.arange(pY.nnz) - np.repeat(pY.indptr[:-1], p_nnz)
+        t_row = np.repeat(np.arange(n, dtype=np.int64), np.diff(tY.indptr))
+        t_keys = t_row * L + tY.indices
+        p_keys = p_row * L + pY.indices
+        is_hit = np.isin(p_keys, t_keys, assume_unique=False)
         hits = np.zeros((n, topk), dtype=np.float64)
-        num_true = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            truth = set(tY.indices[tY.indptr[i] : tY.indptr[i + 1]].tolist())
-            num_true[i] = max(len(truth), 1)
-            s, e = pY.indptr[i], pY.indptr[i + 1]
-            pred = pY.indices[s:e][:topk]
-            for rank, lbl in enumerate(pred):
-                if lbl in truth:
-                    hits[i, rank] = 1.0
+        hits[p_row[is_hit], p_rank[is_hit]] = 1.0
         cum = np.cumsum(hits, axis=1)
         ks = np.arange(1, topk + 1, dtype=np.float64)
         prec = (cum / ks[None, :]).mean(axis=0)

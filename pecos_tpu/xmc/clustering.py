@@ -290,9 +290,18 @@ class LabelEmbeddingFactory(object):
 
     @staticmethod
     def pifa(Y, X):
-        """Positive Instance Feature Aggregation: l2-normalized rows of Y^T X."""
-        YT = Y.T.tocsr() if smat.issparse(Y) else smat.csr_matrix(np.asarray(Y).T)
-        emb = YT @ X
+        """Positive Instance Feature Aggregation: l2-normalized rows of Y^T X.
+
+        Both sparse: parallel native SpGEMM (spgemm_util, the reference's
+        spmm_mat_t role, matrix.hpp:740) — the Y^T X product touches every
+        training nonzero and dominates index-build time at Wiki-500K scale."""
+        if smat.issparse(Y) and smat.issparse(X):
+            from pecos_tpu.utils.spgemm_util import spgemm_atb
+
+            emb = spgemm_atb(Y, X)
+        else:
+            YT = Y.T.tocsr() if smat.issparse(Y) else smat.csr_matrix(np.asarray(Y).T)
+            emb = YT @ X
         return smat_util.normalize(emb, axis=1, norm="l2")
 
     @staticmethod

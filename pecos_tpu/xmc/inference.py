@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -324,24 +325,61 @@ def save_compiled_layers(layers: Sequence[DeviceLayer], bias: float, nr_features
         _json.dump(meta, f)
 
 
-def load_compiled_layers(folder: str) -> "CompiledHierModel":
-    import json as _json
-    import os as _os
+def _layer_from_npz(z, kind: str, nr_labels: int) -> DeviceLayer:
+    children = jnp.asarray(np.asarray(z["children"]))
+    if kind == "dense":
+        return DeviceLayer("dense", nr_labels, children, W=jnp.asarray(np.asarray(z["W"])))
+    return DeviceLayer("plabel", nr_labels, children, packed=jnp.asarray(np.asarray(z["packed"])))
 
-    with open(_os.path.join(folder, "compiled.json")) as f:
+
+class LazyLayerHandle:
+    """A compiled layer left on disk (numpy mmap); uploaded on demand.
+
+    The TPU analog of the reference's r_lazy mmap open mode
+    (mmap_util.hpp:345): loading touches no layer bytes until a predict
+    actually walks that layer."""
+
+    def __init__(self, folder: str, d: int, kind: str, nr_labels: int):
+        self._path = os.path.join(folder, f"layer_{d}.npz")
+        self.kind = kind
+        self.nr_labels = nr_labels
+
+    @property
+    def nbytes(self) -> int:
+        return os.path.getsize(self._path)
+
+    def to_device(self) -> DeviceLayer:
+        z = np.load(self._path, mmap_mode="r")
+        return _layer_from_npz(z, self.kind, self.nr_labels)
+
+
+def load_compiled_layers(
+    folder: str, lazy: bool = False, resident_budget_bytes: int = 2 << 30
+):
+    """Load a compiled model. ``lazy=True`` returns a streaming model that
+    keeps layers on disk and uploads each to the device only while its level
+    of the beam search runs (front layers small enough to fit
+    ``resident_budget_bytes`` stay device-resident across calls) — the 100M
+    label regime where the whole chain cannot live in HBM at once."""
+    import json as _json
+
+    with open(os.path.join(folder, "compiled.json")) as f:
         meta = _json.load(f)
+    if lazy:
+        handles = [
+            LazyLayerHandle(folder, d, lm["kind"], lm["nr_labels"])
+            for d, lm in enumerate(meta["layers"])
+        ]
+        return MmapCompiledHierModel(
+            handles,
+            bias=meta["bias"],
+            nr_features=meta["nr_features"],
+            resident_budget_bytes=resident_budget_bytes,
+        )
     layers = []
     for d, lm in enumerate(meta["layers"]):
-        z = np.load(_os.path.join(folder, f"layer_{d}.npz"), mmap_mode="r")
-        children = jnp.asarray(np.asarray(z["children"]))
-        if lm["kind"] == "dense":
-            layers.append(DeviceLayer("dense", lm["nr_labels"], children, W=jnp.asarray(np.asarray(z["W"]))))
-        else:
-            layers.append(
-                DeviceLayer(
-                    "plabel", lm["nr_labels"], children, packed=jnp.asarray(np.asarray(z["packed"]))
-                )
-            )
+        z = np.load(os.path.join(folder, f"layer_{d}.npz"), mmap_mode="r")
+        layers.append(_layer_from_npz(z, lm["kind"], lm["nr_labels"]))
     return CompiledHierModel(layers, bias=meta["bias"], nr_features=meta["nr_features"])
 
 
@@ -601,3 +639,111 @@ def single_layer_predict(
     labels = np.concatenate(out_idx) if out_idx else np.zeros((0, k), np.int64)
     vals = np.concatenate(out_val) if out_val else np.zeros((0, k), np.float32)
     return smat_util.csr_from_topk_arrays(labels, vals, layer.nr_labels)
+
+
+# ---------------------------------------------------------------------------
+# streaming (lazy) compiled model — 100M-label regime
+# ---------------------------------------------------------------------------
+
+
+class MmapCompiledHierModel:
+    """Predict-only model whose layers live on disk and stream to the device.
+
+    The beam search runs level-major: each level's weight layout is uploaded
+    once per predict call, all query batches step through it, then its HBM is
+    released before the next level loads — so peak device memory is
+    max(layer) + beams, not sum(layers). Layers that fit the resident budget
+    (front/top levels are tiny) stay uploaded across calls. Reference analog:
+    r/r_lazy mmap open modes (mmap_util.hpp:345, xmc/base.py:1397-1409).
+    """
+
+    def __init__(
+        self,
+        handles: Sequence[LazyLayerHandle],
+        bias: float,
+        nr_features: int,
+        resident_budget_bytes: int = 2 << 30,
+    ):
+        self.handles = list(handles)
+        self.bias = bias
+        self.nr_features = nr_features
+        self._resident = {}
+        used = 0
+        for d, h in enumerate(self.handles):
+            if used + h.nbytes <= resident_budget_bytes:
+                self._resident[d] = h.to_device()
+                used += h.nbytes
+            else:
+                break
+
+    @property
+    def nr_labels(self) -> int:
+        return self.handles[-1].nr_labels
+
+    @property
+    def depth(self) -> int:
+        return len(self.handles)
+
+    def predict(
+        self,
+        X,
+        *,
+        beam_size: int = 10,
+        only_topk: int = 20,
+        post_processor="l3-hinge",
+        batch_size: int = 1024,
+    ) -> smat.csr_matrix:
+        if X.shape[1] != self.nr_features:
+            raise ValueError(
+                f"Feature dimension of query matrix ({X.shape[1]}) does not match "
+                f"weight matrix ({self.nr_features})"
+            )
+        if isinstance(post_processor, str):
+            pp_names = tuple([post_processor] * self.depth)
+        else:
+            pp_names = tuple(post_processor)
+        for name in pp_names:
+            PostProcessor.get(name)
+        Xd = prepare_queries(X, self.bias)
+        N = Xd.shape[0]
+        batch = min(batch_size, max(1, 1 << max(N - 1, 0).bit_length()))
+        # upload padded query batches once; beams carry across levels
+        X_bufs, beams = [], []
+        for s in range(0, N, batch):
+            xb = Xd[s : s + batch]
+            pad = batch - xb.shape[0]
+            if pad:
+                xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
+            X_bufs.append((jnp.asarray(xb), pad))
+            beams.append((None, None))
+        for d in range(self.depth):
+            layer = self._resident.get(d)
+            if layer is None:
+                layer = self.handles[d].to_device()
+            k = only_topk if d == self.depth - 1 else beam_size
+            if d == 0:
+                n_roots = layer.children.shape[0]
+                init_val = PostProcessor.get(pp_names[0]).init_value
+            for i, (xb, pad) in enumerate(X_bufs):
+                parents, pvals = beams[i]
+                if parents is None:
+                    parents = jnp.tile(
+                        jnp.arange(n_roots, dtype=jnp.int32), (xb.shape[0], 1)
+                    )
+                    pvals = jnp.full((xb.shape[0], n_roots), init_val, jnp.float32)
+                beams[i] = _single_layer_jit(
+                    xb, layer, parents, pvals, k=k, pp_name=pp_names[d], no_prev=(d == 0)
+                )
+            if d not in self._resident:
+                del layer  # release the streamed layer's HBM before the next level
+        out_idx, out_val = [], []
+        for (xb, pad), (labels, vals) in zip(X_bufs, beams):
+            labels = np.asarray(jax.device_get(labels))
+            vals = np.asarray(jax.device_get(vals))
+            if pad:
+                labels, vals = labels[:-pad], vals[:-pad]
+            out_idx.append(labels)
+            out_val.append(vals)
+        labels = np.concatenate(out_idx) if out_idx else np.zeros((0, only_topk), np.int64)
+        vals = np.concatenate(out_val) if out_val else np.zeros((0, only_topk), np.float32)
+        return smat_util.csr_from_topk_arrays(labels, vals, self.nr_labels)

@@ -139,3 +139,28 @@ def test_comm_self_test():
 
     assert run_comm_self_test(DummyComm(), verbose=False) == []
     assert run_device_collective_probe()
+
+
+def test_lazy_streaming_load_matches_eager(tmp_path):
+    """r_lazy analog: streaming per-level upload must reproduce the eager
+    compiled model exactly (reference mmap open modes, mmap_util.hpp:345)."""
+    from pecos_tpu.xmc.inference import load_compiled_layers
+
+    X, Y, xlm = _model(seed=11)
+    folder = str(tmp_path / "m")
+    compiled = str(tmp_path / "mc")
+    xlm.save(folder)
+    XLinearModel.compile_mmap_model(folder, compiled)
+    import os
+
+    cdir = os.path.join(compiled, "compiled")
+    eager = load_compiled_layers(cdir)
+    # budget 0 -> every layer streamed per predict call
+    lazy = load_compiled_layers(cdir, lazy=True, resident_budget_bytes=0)
+    # partial residency too
+    lazy_res = load_compiled_layers(cdir, lazy=True, resident_budget_bytes=1 << 20)
+    P1 = eager.predict(X, beam_size=4, only_topk=3)
+    P2 = lazy.predict(X, beam_size=4, only_topk=3)
+    P3 = lazy_res.predict(X, beam_size=4, only_topk=3)
+    assert (P1 != P2).nnz == 0
+    assert (P1 != P3).nnz == 0

@@ -91,3 +91,22 @@ def test_cocluster_spectral_embeddings():
     s0 = np.sign(re[:20, 0]).mean()
     s1 = np.sign(re[20:, 0]).mean()
     assert abs(s0 - s1) > 1.5, (s0, s1)
+
+
+def test_native_spgemm_matches_scipy():
+    """Parallel SpGEMM (Y^T X for PIFA) vs scipy, canonical CSR
+    (reference role: clib.sparse_matmul / matrix.hpp:740 spmm_mat_t)."""
+    import scipy.sparse as smat
+
+    from pecos_tpu.utils.spgemm_util import spgemm_atb
+
+    rng = np.random.default_rng(4)
+    Y = smat.random(300, 50, density=0.05, random_state=rng, format="csc", dtype=np.float32)
+    X = smat.random(300, 80, density=0.1, random_state=rng, format="csr", dtype=np.float32)
+    Z = spgemm_atb(Y, X, threads=2)
+    Z_ref = (Y.T @ X).tocsr()
+    Z_ref.sort_indices()
+    assert Z.shape == Z_ref.shape
+    np.testing.assert_allclose(
+        np.asarray(Z.todense()), np.asarray(Z_ref.todense()), rtol=1e-5, atol=1e-6
+    )
