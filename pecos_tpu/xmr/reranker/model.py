@@ -53,6 +53,71 @@ def _mlp_apply(params, x):
     return x
 
 
+# ---------------------------------------------------------------------------
+# LoRA adapters (reference dependency: peft, setup.py:99) — low-rank deltas on
+# the attention projection kernels; the base encoder stays frozen
+# ---------------------------------------------------------------------------
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def lora_target_paths(encoder_params, target_substrings: Sequence[str]) -> List[str]:
+    """Paths of 2-D kernel leaves whose path mentions a target projection."""
+    flat = jax.tree_util.tree_flatten_with_path(encoder_params)[0]
+    out = []
+    for path, leaf in flat:
+        p = _path_str(path)
+        if (
+            hasattr(leaf, "ndim")
+            and leaf.ndim == 2
+            and p.endswith("kernel")
+            and any(t in p for t in target_substrings)
+        ):
+            out.append(p)
+    return sorted(out)
+
+
+def lora_init(encoder_params, paths: Sequence[str], rank: int, seed: int = 0):
+    """A ~ N(0, 0.02), B = 0 per target kernel (delta starts at exactly 0)."""
+    rng = np.random.default_rng(seed)
+    flat = {
+        _path_str(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(encoder_params)[0]
+    }
+    adapters = {}
+    for p in paths:
+        d_in, d_out = flat[p].shape
+        adapters[p] = {
+            "a": (rng.standard_normal((d_in, rank)) * 0.02).astype(np.float32),
+            "b": np.zeros((rank, d_out), np.float32),
+        }
+    return adapters
+
+
+def lora_apply(encoder_params, adapters, alpha: float):
+    """Rebuild the encoder tree with kernel' = W + (alpha/r) A@B."""
+    if not adapters:
+        return encoder_params
+    rank = next(iter(adapters.values()))["a"].shape[1]
+    scale = alpha / max(rank, 1)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(encoder_params)
+    new_leaves = []
+    for path, leaf in flat:
+        p = _path_str(path)
+        if p in adapters:
+            ab = adapters[p]
+            leaf = leaf + scale * jnp.dot(
+                ab["a"], ab["b"], preferred_element_type=jnp.float32
+            )
+        new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 class TextNumrEncoder(pecos_tpu.BaseClass):
     """Text tower (Flax encoder) + numeric MLP tower + linear score head."""
 
@@ -85,6 +150,11 @@ class RankingModel(pecos_tpu.BaseClass):
         loss_fn: str = "pointwise"  # pointwise | pairwise | listwise
         pairwise_margin: float = 0.3
         group_size: int = 4  # candidates per query for pairwise/listwise
+        # LoRA (reference peft role): rank 0 = full fine-tune; rank > 0
+        # freezes the encoder and trains low-rank attention-kernel deltas
+        lora_rank: int = 0
+        lora_alpha: float = 16.0
+        lora_targets: Tuple[str, ...] = ("q_lin", "v_lin", "query", "value")
         seed: int = 0
 
     @dc.dataclass
@@ -171,22 +241,51 @@ class RankingModel(pecos_tpu.BaseClass):
             optax.clip_by_global_norm(1.0),
             optax.adamw(train_params.learning_rate, weight_decay=train_params.weight_decay),
         )
-        params = {
-            "encoder": enc.encoder.params,
-            "numr": jax.tree.map(jnp.asarray, enc.numr_params) if enc.numr_params else None,
-            "head": jax.tree.map(jnp.asarray, enc.head_params),
-        }
+        use_lora = train_params.lora_rank > 0
+        frozen_enc = None
+        if use_lora:
+            target_paths = lora_target_paths(enc.encoder.params, train_params.lora_targets)
+            if not target_paths:
+                raise ValueError(
+                    f"no LoRA target kernels matched {train_params.lora_targets} "
+                    "in the encoder parameter tree"
+                )
+            LOGGER.info("LoRA rank %d on %d kernels", train_params.lora_rank, len(target_paths))
+            frozen_enc = jax.tree.map(jnp.asarray, enc.encoder.params)
+            params = {
+                "lora": jax.tree.map(
+                    jnp.asarray,
+                    lora_init(
+                        enc.encoder.params, target_paths, train_params.lora_rank,
+                        seed=train_params.seed,
+                    ),
+                ),
+                "numr": jax.tree.map(jnp.asarray, enc.numr_params) if enc.numr_params else None,
+                "head": jax.tree.map(jnp.asarray, enc.head_params),
+            }
+        else:
+            params = {
+                "encoder": enc.encoder.params,
+                "numr": jax.tree.map(jnp.asarray, enc.numr_params) if enc.numr_params else None,
+                "head": jax.tree.map(jnp.asarray, enc.head_params),
+            }
         opt_state = tx.init(params)
         encoder = enc.encoder
         kind, margin = train_params.loss_fn, train_params.pairwise_margin
+        lora_alpha = train_params.lora_alpha
 
         @jax.jit
         def train_step(params, opt_state, batch, key):
             def loss_fn(p):
+                enc_params = (
+                    lora_apply(frozen_enc, p["lora"], lora_alpha)
+                    if use_lora
+                    else p["encoder"]
+                )
                 out = encoder(
                     input_ids=batch["input_ids"],
                     attention_mask=batch["attention_mask"],
-                    params=p["encoder"],
+                    params=enc_params,
                     dropout_rng=key,
                     train=True,
                 )
@@ -231,7 +330,14 @@ class RankingModel(pecos_tpu.BaseClass):
             if step >= total:
                 break
 
-        enc.encoder.params = jax.device_get(params["encoder"])
+        if use_lora:
+            # bake the low-rank deltas into the encoder weights: predict,
+            # save and load then work on the merged model unchanged
+            enc.encoder.params = jax.device_get(
+                lora_apply(frozen_enc, params["lora"], lora_alpha)
+            )
+        else:
+            enc.encoder.params = jax.device_get(params["encoder"])
         if params["numr"] is not None:
             enc.numr_params = jax.device_get(params["numr"])
         enc.head_params = jax.device_get(params["head"])

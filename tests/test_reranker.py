@@ -93,3 +93,32 @@ def test_data_utils(tmp_path):
     inputs, labels = RankingDataUtils.build_pairs(loaded)
     assert inputs[0] == "q1 [SEP] a"
     np.testing.assert_array_equal(labels, [1.0, 0.0, 0.5])
+
+
+def test_lora_fine_tune_ranks(tiny):
+    """LoRA (peft analog, reference setup.py:99): frozen encoder + low-rank
+    attention deltas must still learn the ranking; adapters bake into the
+    encoder so save/load/predict are unchanged."""
+    from pecos_tpu.xmr.reranker import RankingModel
+
+    inputs, labels, numr, model_config = tiny
+    model = RankingModel.train(
+        inputs,
+        labels,
+        numeric_feats=numr,
+        train_params=dict(
+            model_type="distilbert",
+            model_config=model_config,
+            truncate_length=12,
+            batch_size=16,
+            num_train_epochs=6,
+            learning_rate=3e-3,
+            loss_fn="pairwise",
+            group_size=4,
+            lora_rank=4,
+        ),
+    )
+    scores = model.predict(inputs, numeric_feats=numr)
+    s = scores.reshape(-1, 4)
+    acc = (s.argmax(axis=1) == 0).mean()
+    assert acc > 0.8, f"lora ranking accuracy {acc}"
