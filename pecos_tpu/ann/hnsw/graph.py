@@ -35,6 +35,159 @@ import numpy as np
 
 PAD = jnp.int32(-1)
 INF = jnp.float32(3.4e38)
+SPARSE_PAD_ID = np.int32(1 << 30)  # sorts after every real feature id
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseBlock:
+    """A batch of sparse rows in padded (ids, vals) form.
+
+    ids are sorted ascending per row and padded with SPARSE_PAD_ID; padded
+    vals are 0, so pad-vs-pad id matches contribute nothing to dot products.
+    """
+
+    ids: jax.Array  # (B, Q) int32
+    vals: jax.Array  # (B, Q) float32
+    sq: jax.Array  # (B,) float32 squared norms
+
+    def tree_flatten(self):
+        return (self.ids, self.vals, self.sq), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def shape(self):
+        return self.ids.shape
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SparseFeats:
+    """All node features in padded sparse form (the CSR analog of the dense
+    (N, D) feats array).  The reference instantiates HNSW over CSR features
+    with a block sorted-list intersection for sparse-sparse dot products
+    (pecos/core/ann/feat_vectors.hpp:195-340, distance_impl/common.hpp:16-103);
+    on TPU the intersection is a broadcast id-compare — pure VPU work with no
+    per-element gathers (same kernel family as xmc/inference.py
+    score_candidates_sparse)."""
+
+    ids: jax.Array  # (N, P) int32, sorted asc, SPARSE_PAD_ID padded
+    vals: jax.Array  # (N, P) float32, 0 padded
+    sq: jax.Array  # (N,) float32 squared norms
+
+    def tree_flatten(self):
+        return (self.ids, self.vals, self.sq), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def shape(self):
+        return self.ids.shape
+
+    def __getitem__(self, idx):
+        return SparseBlock(self.ids[idx], self.vals[idx], self.sq[idx])
+
+
+def build_sparse_feats(X, round_to: int = 32, cap: int = 0) -> SparseFeats:
+    """Host CSR -> device SparseFeats (row capacity padded to a lane-friendly
+    multiple, or the explicit ``cap`` for jit-shape stability across chunks)."""
+    import scipy.sparse as smat
+
+    A = X.tocsr() if smat.issparse(X) else smat.csr_matrix(X)
+    A.sort_indices()
+    nnz = np.diff(A.indptr)
+    if not cap:
+        cap = int(max(round_to, -(-int(nnz.max() if len(nnz) else 1) // round_to) * round_to))
+    ids = np.full((A.shape[0], cap), SPARSE_PAD_ID, np.int32)
+    vals = np.zeros((A.shape[0], cap), np.float32)
+    rows = np.repeat(np.arange(A.shape[0]), nnz)
+    offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz)
+    ids[rows, offs] = A.indices
+    vals[rows, offs] = A.data
+    sq = np.asarray(A.multiply(A).sum(axis=1), np.float32).ravel()
+    return SparseFeats(jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(sq))
+
+
+def _sparse_gather_dots(Q: SparseBlock, feats: SparseFeats, ids: jax.Array) -> jax.Array:
+    """<q_b, x_{ids[b,k]}> for sparse q and sparse x: (B, K) dots.
+
+    Chunked over K so the (B, kc, P, Qn) id-compare mask stays in VMEM-sized
+    blocks; jax.lax.scan keeps it one fused kernel."""
+    B, K = ids.shape
+    N, P = feats.ids.shape
+    Qn = Q.ids.shape[1]
+    safe = jnp.clip(ids, 0, N - 1)
+    wi = feats.ids[safe]  # (B, K, P) row gathers (cheap)
+    wv = feats.vals[safe]
+    # kc * P * Qn * B <= ~2^26 elements per chunk
+    kc = max(1, min(K, (1 << 26) // max(1, B * P * Qn)))
+    pad_k = (-K) % kc
+    if pad_k:
+        wi = jnp.concatenate([wi, jnp.full((B, pad_k, P), SPARSE_PAD_ID, jnp.int32)], axis=1)
+        wv = jnp.concatenate([wv, jnp.zeros((B, pad_k, P), wv.dtype)], axis=1)
+    Kp = wi.shape[1]
+    wi_r = wi.reshape(B, Kp // kc, kc, P).swapaxes(0, 1)
+    wv_r = wv.reshape(B, Kp // kc, kc, P).swapaxes(0, 1)
+
+    def step(carry, blk):
+        wi_b, wv_b = blk  # (B, kc, P)
+        m = Q.ids[:, None, None, :] == wi_b[:, :, :, None]  # (B, kc, P, Qn)
+        g = jnp.sum(jnp.where(m, Q.vals[:, None, None, :], 0.0), axis=-1)
+        return carry, jnp.sum(g * wv_b, axis=-1)  # (B, kc)
+
+    _, out = jax.lax.scan(step, 0.0, (wi_r, wv_r))
+    return out.swapaxes(0, 1).reshape(B, Kp)[:, :K]
+
+
+def _sparse_cross_dots(feats: SparseFeats, ids: jax.Array) -> jax.Array:
+    """Pairwise dots among gathered sparse rows: ids (B, E) -> (B, E, E).
+
+    Scans one row-chunk at a time as the "query" side so the 5-d compare
+    mask (B, ec, E, pc, P) stays bounded."""
+    B, E = ids.shape
+    N, P = feats.ids.shape
+    safe = jnp.clip(ids, 0, N - 1)
+    wi = feats.ids[safe]  # (B, E, P)
+    wv = feats.vals[safe]
+    # bound mask elems: B * ec * E * pc * P <= ~2^26
+    budget = (1 << 26) // max(1, B * E * P)
+    pc = max(1, min(P, budget))
+    ec = max(1, min(E, budget // pc))
+    pad_e = (-E) % ec
+    qi, qv = wi, wv
+    if pad_e:
+        qi = jnp.concatenate([qi, jnp.full((B, pad_e, P), SPARSE_PAD_ID, jnp.int32)], axis=1)
+        qv = jnp.concatenate([qv, jnp.zeros((B, pad_e, P), wv.dtype)], axis=1)
+    Ep = qi.shape[1]
+    pad_p = (-P) % pc
+    if pad_p:
+        qi = jnp.concatenate([qi, jnp.full((B, Ep, pad_p), SPARSE_PAD_ID, jnp.int32)], axis=2)
+        qv = jnp.concatenate([qv, jnp.zeros((B, Ep, pad_p), wv.dtype)], axis=2)
+    Pp = qi.shape[2]
+    qi_r = qi.reshape(B, Ep // ec, ec, Pp).swapaxes(0, 1)
+    qv_r = qv.reshape(B, Ep // ec, ec, Pp).swapaxes(0, 1)
+
+    def step(carry, blk):
+        qi_b, qv_b = blk  # (B, ec, Pp)
+        qi_p = qi_b.reshape(B, ec, Pp // pc, pc).swapaxes(0, 2).swapaxes(1, 2)
+        qv_p = qv_b.reshape(B, ec, Pp // pc, pc).swapaxes(0, 2).swapaxes(1, 2)
+
+        def inner(acc, pblk):
+            qi_c, qv_c = pblk  # (B, ec, pc)
+            m = qi_c[:, :, None, :, None] == wi[:, None, :, None, :]  # (B,ec,E,pc,P)
+            g = jnp.sum(jnp.where(m, qv_c[:, :, None, :, None], 0.0), axis=-2)  # (B,ec,E,P)
+            return acc + jnp.sum(g * wv[:, None, :, :], axis=-1), None
+
+        acc, _ = jax.lax.scan(inner, jnp.zeros((B, ec, E), jnp.float32), (qi_p, qv_p))
+        return carry, acc
+
+    _, out = jax.lax.scan(step, 0.0, (qi_r, qv_r))
+    return out.swapaxes(0, 1).reshape(B, Ep, E)[:, :E, :]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -68,8 +221,14 @@ def pairwise_dist(Q: jax.Array, X: jax.Array, metric: str) -> jax.Array:
     return qq + xx - 2.0 * dots
 
 
-def gather_dist(Q: jax.Array, feats: jax.Array, ids: jax.Array, metric: str) -> jax.Array:
-    """Per-query gathered distances: Q (B, D), ids (B, K) -> (B, K)."""
+def gather_dist(Q, feats, ids: jax.Array, metric: str) -> jax.Array:
+    """Per-query gathered distances: Q (B, D) | SparseBlock, ids (B, K) -> (B, K)."""
+    if isinstance(feats, SparseFeats):
+        dots = _sparse_gather_dots(Q, feats, ids)
+        if metric == "ip":
+            return 1.0 - dots
+        xx = feats.sq[jnp.clip(ids, 0, feats.sq.shape[0] - 1)]
+        return Q.sq[:, None] + xx - 2.0 * dots
     F = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]  # (B, K, D)
     dots = jnp.einsum("bkd,bd->bk", F, Q, preferred_element_type=jnp.float32, precision="highest")
     if metric == "ip":
@@ -321,6 +480,14 @@ def batch_select_from_search(
 ) -> jax.Array:
     """Fused cross-distance + Alg-4 select: one device call per batch."""
     B, E = ids.shape
+    if isinstance(feats, SparseFeats):
+        dots = _sparse_cross_dots(feats, ids)
+        if metric == "ip":
+            cross = 1.0 - dots
+        else:
+            nn = feats.sq[jnp.clip(ids, 0, feats.sq.shape[0] - 1)]
+            cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+        return batch_select_neighbors(ids, dists, cross, M=M)
     F = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]  # (B, E, D)
     dots = jnp.einsum("bed,bfd->bef", F, F, preferred_element_type=jnp.float32, precision="highest")
     if metric == "ip":
@@ -401,13 +568,23 @@ def scatter_prune_rows_alg4(
     order = jnp.argsort(d, axis=1)
     cand = jnp.take_along_axis(cand, order, axis=1)
     d = jnp.take_along_axis(d, order, axis=1)
-    F = feats[jnp.clip(cand, 0, N - 1)]  # (A, E, D)
-    dots = jnp.einsum("aed,afd->aef", F, F, preferred_element_type=jnp.float32, precision="highest")
-    if metric == "ip":
-        cross = 1.0 - dots
+    if isinstance(feats, SparseFeats):
+        dots = _sparse_cross_dots(feats, cand)
+        if metric == "ip":
+            cross = 1.0 - dots
+        else:
+            nn = feats.sq[jnp.clip(cand, 0, N - 1)]
+            cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
     else:
-        nn = jnp.sum(F * F, axis=-1)
-        cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+        F = feats[jnp.clip(cand, 0, N - 1)]  # (A, E, D)
+        dots = jnp.einsum(
+            "aed,afd->aef", F, F, preferred_element_type=jnp.float32, precision="highest"
+        )
+        if metric == "ip":
+            cross = 1.0 - dots
+        else:
+            nn = jnp.sum(F * F, axis=-1)
+            cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
     picked = batch_select_neighbors(cand, d, cross, M=cap)
     return neighbors.at[rows, :].set(picked, mode="drop")
 

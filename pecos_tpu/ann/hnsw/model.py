@@ -6,9 +6,10 @@ API parity with the reference (pecos/ann/hnsw/model.py:33-269): TrainParams
 
 Build strategy (see graph.py docstring): deterministic growing batches replace
 lock-based parallel insertion; every batch's candidate searches run as one
-device call.  Dense features only in this layer — sparse (TF-IDF) queries are
-densified per batch; a blocked-sparse distance kernel is the planned
-optimization.
+device call.  Features may be dense (N, D) arrays or CSR — sparse storage
+keeps TF-IDF-width data (D in the millions) feasible, with distances computed
+by the broadcast id-intersection kernels in graph.py (the TPU analog of the
+reference's sparse block intersection, feat_vectors.hpp:195-340).
 """
 
 from __future__ import annotations
@@ -29,9 +30,12 @@ import pecos_tpu
 from pecos_tpu.utils import smat_util
 from .graph import (
     DeviceGraph,
+    SparseBlock,
+    SparseFeats,
     batch_greedy_descent,
     batch_search_level,
     batch_select_neighbors,
+    build_sparse_feats,
     gather_dist,
     pairwise_dist,
     scatter_prune_rows,
@@ -90,6 +94,18 @@ class HNSW(pecos_tpu.BaseClass):
         build_batch_size: int = 2048
         refine_iters: int = 1  # graph-repair passes after batched insertion
         reverse_alg4: bool = False  # Alg-4 (vs keep-closest) reverse-edge prune
+        # candidates popped per best-first iteration during BUILD searches:
+        # higher = fewer sequential while_loop steps (each step pays a full
+        # HBM gather + beam re-sort) at a few % more distance evals
+        build_expand: int = 4
+        # bfloat16 build searches halve gather bandwidth; forward/reverse
+        # selection is distance-ORDER based so bf16 rounding barely moves it
+        build_dtype: str = "float32"  # float32 | bfloat16
+        # feature storage: auto = keep CSR input sparse when densifying is
+        # infeasible (D > sparse_dim_threshold); drm forces dense; csr forces
+        # sparse (reference data_type, pecos/ann/hnsw/model.py:130-147)
+        data_type: str = "auto"  # auto | drm | csr
+        sparse_dim_threshold: int = 65536
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -111,7 +127,7 @@ class HNSW(pecos_tpu.BaseClass):
         metric: str,
         pred_params=None,
     ):
-        self.feats = feats  # (N, D) float32 host copy
+        self.feats = feats  # (N, D) float32 host copy, dense ndarray or CSR
         self.neighbors0 = neighbors0  # (N, maxM0) int32
         self.upper_neighbors = upper_neighbors  # (max_level, N, maxM) int32
         self.node_levels = node_levels  # (N,) int32
@@ -123,7 +139,11 @@ class HNSW(pecos_tpu.BaseClass):
     # -- device residency -------------------------------------------------------
     def _device(self):
         if self._dev is None:
-            feats_d = jnp.asarray(self.feats)
+            feats_d = (
+                build_sparse_feats(self.feats)
+                if smat.issparse(self.feats)
+                else jnp.asarray(self.feats)
+            )
             g0 = DeviceGraph(feats_d, jnp.asarray(self.neighbors0), self.metric)
             uppers = [
                 DeviceGraph(feats_d, jnp.asarray(self.upper_neighbors[l]), self.metric)
@@ -159,7 +179,16 @@ class HNSW(pecos_tpu.BaseClass):
 
         params = cls.TrainParams.from_dict(train_params)
         params.override_with_kwargs(kwargs)
-        feats = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        use_sparse = smat.issparse(X) and (
+            params.data_type == "csr"
+            or (params.data_type == "auto" and X.shape[1] > params.sparse_dim_threshold)
+        )
+        if use_sparse:
+            feats = X.tocsr().astype(np.float32)
+        elif smat.issparse(X):
+            feats = np.asarray(X.todense(), np.float32)
+        else:
+            feats = np.asarray(X, np.float32)
         N, D = feats.shape
         M = params.M
         maxM = params.max_M or M
@@ -178,14 +207,24 @@ class HNSW(pecos_tpu.BaseClass):
         entry = 0
         metric = params.metric_type
 
-        feats_d = jnp.asarray(feats)
+        feats_d = build_sparse_feats(feats) if use_sparse else jnp.asarray(feats)
+        if params.build_dtype == "bfloat16" and not use_sparse:
+            # build-time search copy only; the model keeps f32 host feats
+            feats_d = feats_d.astype(jnp.bfloat16)
         dev_n0 = jnp.full((N, maxM0), -1, jnp.int32)
         dev_up = [jnp.full((N, maxM), -1, jnp.int32) for _ in range(max_level)]
 
         # single padded batch shape -> fixed set of compiled kernels
         B = min(params.build_batch_size, max(32, 1 << (max(N - 1, 1)).bit_length()))
-        A_CHUNK = 4096  # affected-row chunk for scatter-prune calls
         K_PAD = 64  # reverse-edge arrivals per node per scatter call
+        # affected-row chunk for scatter-prune calls: each call gathers
+        # (A, cap + K_PAD, D) candidate features — budget ~2^28 elements so
+        # one batch needs a handful of dispatches, not dozens (every extra
+        # dispatch pays a full tunnel round trip)
+        row_width = feats_d.ids.shape[1] if use_sparse else feats.shape[1]
+        A_CHUNK = int(
+            min(65536, max(4096, (1 << 28) // max(1, (maxM0 + K_PAD) * row_width)))
+        )
 
         def search_batch(q_idx: np.ndarray, entry_: int, ef: int, at_level: int = 0):
             """Search the current graph AT a given level for q_idx (padded to
@@ -200,7 +239,9 @@ class HNSW(pecos_tpu.BaseClass):
                 cur = batch_greedy_descent(g, Q, cur, max_steps=64)
             arr = dev_n0 if at_level == 0 else dev_up[at_level - 1]
             g = DeviceGraph(feats_d, arr, metric)
-            return batch_search_level(g, Q, cur[:, None], ef=ef, max_steps=4 * ef)
+            return batch_search_level(
+                g, Q, cur[:, None], ef=ef, max_steps=4 * ef, expand=params.build_expand
+            )
 
         def apply_reverse(arr, dst: np.ndarray, src: np.ndarray, use_alg4: bool):
             """Merge src->dst reverse edges into adjacency arr (device)."""
@@ -345,19 +386,37 @@ class HNSW(pecos_tpu.BaseClass):
         params = self.get_pred_params() if pred_params is None else self.PredParams.from_dict(pred_params)
         params.override_with_kwargs(kwargs)
         efS, topk = params.efS, params.topk
-        Q = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
-        NQ = Q.shape[0]
         g0, uppers = self._device()
+        sparse_graph = isinstance(g0.feats, SparseFeats)
+        if sparse_graph:
+            Q = X.tocsr().astype(np.float32) if smat.issparse(X) else smat.csr_matrix(
+                np.asarray(X, np.float32)
+            )
+        else:
+            Q = np.asarray(X.todense(), np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
+        NQ = Q.shape[0]
         chunk = max(1, params.batch_size)
         ids = np.empty((NQ, topk), np.int32)
         dists = np.empty((NQ, topk), np.float32)
         for s in range(0, NQ, chunk):
             Qc = Q[s : s + chunk]
             pad = chunk - Qc.shape[0] if NQ > chunk else 0
-            if pad:
-                Qc = np.vstack([Qc, np.zeros((pad, Q.shape[1]), np.float32)])
-            Qd = jnp.asarray(Qc)
-            cur = jnp.full((Qc.shape[0],), self.entry_point, jnp.int32)
+            if sparse_graph:
+                if pad:
+                    Qc = smat.vstack(
+                        [Qc, smat.csr_matrix((pad, Q.shape[1]), dtype=np.float32)]
+                    ).tocsr()
+                # fixed row capacity across chunks -> one compiled search
+                qcap = 32 * (-(-int(max(np.diff(Q.tocsr().indptr).max(), 1)) // 32))
+                sf = build_sparse_feats(Qc, cap=qcap)
+                Qd = SparseBlock(sf.ids, sf.vals, sf.sq)
+                nrows = Qc.shape[0]
+            else:
+                if pad:
+                    Qc = np.vstack([Qc, np.zeros((pad, Q.shape[1]), np.float32)])
+                Qd = jnp.asarray(Qc)
+                nrows = Qc.shape[0]
+            cur = jnp.full((nrows,), self.entry_point, jnp.int32)
             for l in range(len(uppers), 0, -1):
                 cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
             ids_c, dists_c = batch_search_level(
@@ -388,23 +447,37 @@ class HNSW(pecos_tpu.BaseClass):
                 "pred_kwargs": self.pred_params.to_dict(),
             }
         )
+        param["sparse_feats"] = bool(smat.issparse(self.feats))
         with open(os.path.join(folder, "param.json"), "w") as f:
             json.dump(param, f, indent=True)
-        np.savez(
-            os.path.join(folder, "graph.npz"),
-            feats=self.feats,
-            neighbors0=self.neighbors0,
-            upper_neighbors=self.upper_neighbors,
-            node_levels=self.node_levels,
-        )
+        if smat.issparse(self.feats):
+            smat_util.save_matrix(os.path.join(folder, "feats.npz"), self.feats)
+            np.savez(
+                os.path.join(folder, "graph.npz"),
+                neighbors0=self.neighbors0,
+                upper_neighbors=self.upper_neighbors,
+                node_levels=self.node_levels,
+            )
+        else:
+            np.savez(
+                os.path.join(folder, "graph.npz"),
+                feats=self.feats,
+                neighbors0=self.neighbors0,
+                upper_neighbors=self.upper_neighbors,
+                node_levels=self.node_levels,
+            )
 
     @classmethod
     def load(cls, folder: str) -> "HNSW":
         with open(os.path.join(folder, "param.json")) as f:
             param = json.load(f)
         z = np.load(os.path.join(folder, "graph.npz"))
+        if param.get("sparse_feats"):
+            feats = smat_util.load_matrix(os.path.join(folder, "feats.npz")).tocsr()
+        else:
+            feats = z["feats"]
         return cls(
-            z["feats"],
+            feats,
             z["neighbors0"],
             z["upper_neighbors"],
             z["node_levels"],
@@ -455,7 +528,9 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
 
         params = cls.TrainParams.from_dict(train_params)
         params.override_with_kwargs(kwargs)
-        hnsw = HNSW.train(X, train_params=params.hnsw_params)
+        hp = HNSW.TrainParams.from_dict(params.hnsw_params)
+        hp.data_type = "drm"  # PQ codes quantize dense rows (reference: dense-L2 only)
+        hnsw = HNSW.train(X, train_params=hp)
         pq = train_pq4(
             hnsw.feats,
             num_subspaces=params.num_subspaces,

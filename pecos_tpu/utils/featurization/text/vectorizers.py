@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses as dc
 import json
+import logging
 import os
 import re
 from collections import Counter
@@ -362,6 +363,95 @@ class _TfidfBase:
         vocab, idf = cls._select_vocab(list(df_ctr.items()), params, n_doc)
         return cls(params, vocab, idf)
 
+    @classmethod
+    def train_file(cls, path: str, params: TfidfBaseParams, chunk_docs: int = 65536) -> "_TfidfBase":
+        """Streaming train from a text file, one line per document: only
+        ``chunk_docs`` documents are resident at a time (the reference trains
+        TF-IDF from file through a bounded producer/consumer buffer,
+        tfidf.hpp:982-1126).  DF counts and first-seen token strings
+        accumulate across chunks; vocabulary selection runs once at the end,
+        so the result is bit-identical to in-memory train on the same lines.
+        """
+        lo, hi = params.ngram_range
+
+        def chunks():
+            buf = []
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    buf.append(line.rstrip("\n"))
+                    if len(buf) >= chunk_docs:
+                        yield buf
+                        buf = []
+            if buf:
+                yield buf
+
+        if _load_tok_lib() is None:
+            # pure-Python streaming fallback: Counter accumulation per chunk
+            df_ctr: Counter = Counter()
+            n_doc = 0
+            for chunk in chunks():
+                n_doc += len(chunk)
+                for text in chunk:
+                    units = _tokenize(text, params.analyzer, params.truncate_length)
+                    df_ctr.update(set(_ngrams(units, params.analyzer, lo, hi)))
+            vocab, idf = cls._select_vocab(list(df_ctr.items()), params, n_doc)
+            return cls(params, vocab, idf)
+
+        n_doc = 0
+        acc_h = np.zeros(0, np.uint64)  # sorted unique hashes seen so far
+        acc_df = np.zeros(0, np.int64)  # aligned document frequencies
+        acc_blob = bytearray()  # first-seen token strings, insertion order
+        acc_offs: list = [0]
+        acc_str_h: list = []  # hash arrays aligned with stored strings
+        for chunk in chunks():
+            n_doc += len(chunk)
+            _, hashes, _, (blob, soffs, shash) = _native_count(
+                chunk, params.analyzer, lo, hi, params.truncate_length, want_strings=True
+            )
+            uh, df = np.unique(hashes, return_counts=True)
+            if len(uh) != len(shash):
+                # 64-bit FNV collision inside this chunk (~V^2/2^64 odds):
+                # restart with the exact in-memory path, which resolves
+                # collisions through real token strings
+                logging.getLogger(__name__).warning(
+                    "tfidf hash collision during streaming train; re-training in memory"
+                )
+                with open(path, encoding="utf-8") as f:
+                    return cls.train([line.rstrip("\n") for line in f], params)
+            # accumulate dfs for known hashes; collect the rest as new
+            pos = np.searchsorted(acc_h, uh)
+            safe = np.minimum(pos, max(len(acc_h) - 1, 0))
+            found = (pos < len(acc_h)) & (acc_h[safe] == uh) if len(acc_h) else np.zeros(len(uh), bool)
+            acc_df[pos[found]] += df[found]
+            # store strings for first-seen hashes (shash is first-occurrence order)
+            spos = np.searchsorted(acc_h, shash)
+            ssafe = np.minimum(spos, max(len(acc_h) - 1, 0))
+            s_new = ~((spos < len(acc_h)) & (acc_h[ssafe] == shash)) if len(acc_h) else np.ones(len(shash), bool)
+            new_idx = np.nonzero(s_new)[0]
+            if len(new_idx):
+                lens = (soffs[new_idx + 1] - soffs[new_idx]).astype(np.int64)
+                src = np.frombuffer(blob, np.uint8)
+                within = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
+                acc_blob += src[np.repeat(soffs[new_idx], lens) + within].tobytes()
+                base = acc_offs[-1]
+                acc_offs.extend((base + np.cumsum(lens)).tolist())
+                acc_str_h.append(shash[new_idx])
+                # merge the new hashes into the sorted accumulator
+                order = np.argsort(shash[new_idx])
+                nh = shash[new_idx][order]
+                ndf = df[np.searchsorted(uh, nh)]
+                merged_h = np.concatenate([acc_h, nh])
+                merged_df = np.concatenate([acc_df, ndf])
+                morder = np.argsort(merged_h, kind="stable")
+                acc_h, acc_df = merged_h[morder], merged_df[morder]
+        if not n_doc:
+            return cls(params, {}, np.zeros(0, np.float32))
+        str_h = np.concatenate(acc_str_h) if acc_str_h else np.zeros(0, np.uint64)
+        df_of_token = acc_df[np.searchsorted(acc_h, str_h)] if len(acc_h) else np.zeros(0, np.int64)
+        return cls._from_native_vocab(
+            params, bytes(acc_blob), np.asarray(acc_offs, np.int64), str_h, df_of_token, n_doc
+        )
+
     @property
     def nr_features(self) -> int:
         if self._vocab is None and self._tok_storage is not None:
@@ -456,14 +546,20 @@ class Tfidf(pecos_tpu.BaseClass):
     def train(cls, trn_corpus, config: Optional[dict] = None, dtype=np.float32) -> "Tfidf":
         config = dict(config or {})
         norm = config.pop("norm", "l2")
+        chunk_docs = int(config.pop("chunk_docs", 65536))
         base_cfgs = config.pop("base_vect_configs", None)
         if base_cfgs is None:
             base_cfgs = [config] if config else [{}]
-        corpus = cls._as_corpus(trn_corpus)
-        bases = [
-            _TfidfBase.train(corpus, TfidfBaseParams.from_dict({**bc, "norm": bc.get("norm", norm)}))
-            for bc in base_cfgs
+        params = [
+            TfidfBaseParams.from_dict({**bc, "norm": bc.get("norm", norm)}) for bc in base_cfgs
         ]
+        if isinstance(trn_corpus, str):
+            # file input trains through the streaming path: one bounded chunk
+            # of lines resident at a time (reference tfidf.hpp:982-1126)
+            bases = [_TfidfBase.train_file(trn_corpus, p, chunk_docs=chunk_docs) for p in params]
+        else:
+            corpus = cls._as_corpus(trn_corpus)
+            bases = [_TfidfBase.train(corpus, p) for p in params]
         return cls(bases, norm=norm)
 
     @staticmethod

@@ -265,7 +265,7 @@ class MLModel(pecos_tpu.BaseClass):
                 pad = block - Lb
                 y = np.hstack([y, np.ones((N, pad), np.float32)])
                 c = np.hstack([c, np.zeros((N, pad), np.float32)])
-            Wb = solvers.solve_block(
+            Wb_dev = solvers.solve_block(
                 X_dev,
                 jnp.asarray(y),
                 jnp.asarray(c),
@@ -274,19 +274,31 @@ class MLModel(pecos_tpu.BaseClass):
                 max_newton=train_params.max_newton_iter,
                 cg_max=train_params.cg_max_iter,
             )
-            Wb = np.array(jax.device_get(Wb))[:, :Lb]  # (Db, Lb) writable copy
-            # prune: threshold + max nonzeros per label (linear_solver.hpp:718-778)
-            Wb[np.abs(Wb) < train_params.threshold] = 0.0
-            if max_nnz < Db:
-                for j in range(Lb):
-                    col = Wb[:, j]
-                    nz = np.nonzero(col)[0]
-                    if len(nz) > max_nnz:
-                        keep = nz[np.argsort(-np.abs(col[nz]))[:max_nnz]]
-                        mask = np.zeros(Db, bool)
-                        mask[keep] = True
-                        col[~mask] = 0.0
-            W_cols.append(smat.csc_matrix(Wb))
+            # prune ON DEVICE (threshold + max nonzeros, linear_solver.hpp:718-778)
+            # and download the sparse (idx, val) pairs: the device->host link
+            # is the training bottleneck, not the solve itself
+            thr = float(train_params.threshold)
+            K = min(max_nnz, Db)
+            if thr > 0:
+                K = min(K, int(jax.device_get(solvers.count_above_threshold(Wb_dev, thr))))
+            if K < Db // 2:
+                K_pad = max(8, 1 << max(K - 1, 1).bit_length())  # pow2 shape bucket
+                idx, vals = solvers.prune_topk_device(Wb_dev, thr, min(K_pad, Db))
+                # top_k is magnitude-sorted: trimming to K on host keeps the
+                # exact max_nonzeros_per_label semantics despite the pow2 pad
+                idx = np.asarray(jax.device_get(idx))[:Lb, :K]
+                vals = np.asarray(jax.device_get(vals))[:Lb, :K]
+                nz = vals.ravel() != 0
+                coo_cols = np.repeat(np.arange(Lb), idx.shape[1])[nz]
+                W_cols.append(
+                    smat.csc_matrix(
+                        (vals.ravel()[nz], (idx.ravel()[nz], coo_cols)), shape=(Db, Lb)
+                    )
+                )
+            else:
+                Wb = np.array(jax.device_get(Wb_dev))[:, :Lb]
+                Wb[np.abs(Wb) < thr] = 0.0
+                W_cols.append(smat.csc_matrix(Wb))
         W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
         return cls(W=W, C=C, bias=bias, pred_params=pred_params)
 

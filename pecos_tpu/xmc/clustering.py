@@ -49,6 +49,7 @@ def _level_split(
     codes: jax.Array,  # (L,) int32 node id in [0, n_nodes_max)
     key: jax.Array,
     sample_rate: jax.Array,  # scalar float in (0, 1]
+    imbalanced_ratio: jax.Array,  # scalar float in [0, 0.5)
     *,
     n_nodes_max: int,
     n_iter: int,
@@ -60,6 +61,14 @@ def _level_split(
     tree): early levels simply leave most segments empty, so ONE compiled
     kernel serves every level — remote compiles through the TPU tunnel cost
     30-240 s each, and per-level shapes would pay that depth times.
+
+    ``imbalanced_ratio`` > 0 relaxes the strict median split: the boundary
+    rank may land anywhere within ±ratio·n of the median, chosen at the
+    largest score gap in that window (natural cluster boundary).  This is the
+    `imbalanced_ratio` knob newer pecos forks expose (see
+    examples/pina/scripts/params/*.json); 0 reproduces the reference's strict
+    rank-based balancing (clustering.hpp:202-212).  Traced as a scalar, so
+    changing it never recompiles.
     """
     L = feats.shape[0]
     n_nodes = n_nodes_max
@@ -68,13 +77,34 @@ def _level_split(
     counts_node = jax.ops.segment_sum(jnp.ones((L,), jnp.float32), codes, num_segments=n_nodes)
 
     def balanced_side(score: jax.Array) -> jax.Array:
-        # sort by (node, score) ascending; within-node rank >= ceil(n/2) -> side 1
+        # sort by (node, score) ascending; within-node rank >= boundary -> side 1
         idx = jnp.arange(L, dtype=jnp.int32)
-        sorted_codes, _, sorted_idx = jax.lax.sort((codes, score, idx), num_keys=2)
+        sorted_codes, sorted_score, sorted_idx = jax.lax.sort((codes, score, idx), num_keys=2)
         starts = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(counts_node)])[:-1]
         rank = jnp.arange(L, dtype=jnp.float32) - starts[sorted_codes]
         n_of_node = counts_node[sorted_codes]
-        side_sorted = (2.0 * rank >= n_of_node).astype(jnp.int32)
+        median = jnp.ceil(0.5 * n_of_node)
+        # widest-gap boundary within the allowed imbalance window
+        lo = jnp.maximum(jnp.ceil((0.5 - imbalanced_ratio) * n_of_node), 1.0)
+        hi = jnp.minimum(jnp.floor((0.5 + imbalanced_ratio) * n_of_node), n_of_node - 1.0)
+        same_node = jnp.concatenate(
+            [jnp.zeros((1,), jnp.bool_), sorted_codes[1:] == sorted_codes[:-1]]
+        )
+        gap = jnp.concatenate([jnp.zeros((1,)), sorted_score[1:] - sorted_score[:-1]])
+        eligible = same_node & (rank >= lo) & (rank <= hi)
+        gval = jnp.where(eligible, gap, -jnp.inf)
+        gmax = jax.ops.segment_max(gval, sorted_codes, num_segments=n_nodes)
+        is_best = eligible & (gval >= gmax[sorted_codes])
+        first_best = jax.ops.segment_min(
+            jnp.where(is_best, rank, jnp.float32(L + 1)), sorted_codes, num_segments=n_nodes
+        )
+        boundary_node = jnp.where(jnp.isfinite(gmax) & (first_best <= L), first_best, 0.0)
+        boundary = jnp.where(
+            (imbalanced_ratio > 0) & (boundary_node[sorted_codes] > 0),
+            boundary_node[sorted_codes],
+            median,
+        )
+        side_sorted = (rank >= boundary).astype(jnp.int32)
         side = jnp.zeros((L,), jnp.int32).at[sorted_idx].set(side_sorted)
         return side
 
@@ -111,11 +141,15 @@ def hierarchical_balanced_kmeans(
     spherical: bool = True,
     seed: int = 0,
     sample_rates: Optional[np.ndarray] = None,
+    imbalanced_ratio: float = 0.0,
+    imbalanced_depth: int = 100,
 ) -> np.ndarray:
     """Run `depth` levels of batched balanced binary (spherical) k-means.
 
-    Returns leaf codes in [0, 2**depth) with per-node sizes differing by at
-    most 1 across the whole tree (strict balance).
+    Returns leaf codes in [0, 2**depth).  With imbalanced_ratio=0 (default)
+    per-node sizes differ by at most 1 across the whole tree (strict
+    balance); otherwise levels shallower than ``imbalanced_depth`` may split
+    up to ±ratio off the median, at the widest score gap.
     """
     feats_d = jnp.asarray(feats, dtype=jnp.float32)
     codes = jnp.zeros((feats.shape[0],), dtype=jnp.int32)
@@ -124,11 +158,13 @@ def hierarchical_balanced_kmeans(
     for d in range(depth):
         key, sub = jax.random.split(key)
         rate = 1.0 if sample_rates is None else float(sample_rates[d])
+        ratio = float(imbalanced_ratio) if d < imbalanced_depth else 0.0
         codes = _level_split(
             feats_d,
             codes,
             sub,
             jnp.float32(rate),
+            jnp.float32(min(max(ratio, 0.0), 0.49)),
             n_nodes_max=n_nodes_max,
             n_iter=max_iter,
             spherical=spherical,
@@ -196,6 +232,12 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
         # dense (L, proj_dim) matrix regardless of the raw feature width)
         max_cluster_feature_dim: int = 100_000
         proj_dim: int = 512
+        # relaxed-balance splits (knob from newer pecos forks — see reference
+        # examples/pina/scripts/params/*.json): a split may deviate up to
+        # ±imbalanced_ratio from the median, cut at the widest score gap;
+        # only levels shallower than imbalanced_depth are relaxed
+        imbalanced_ratio: float = 0.0
+        imbalanced_depth: int = 100
         spherical: bool = True
         seed: int = 0
         kmeans_max_iter: int = 20
@@ -249,6 +291,8 @@ class HierarchicalKMeans(pecos_tpu.BaseClass):
             spherical=params.spherical,
             seed=params.seed,
             sample_rates=rates,
+            imbalanced_ratio=params.imbalanced_ratio,
+            imbalanced_depth=params.imbalanced_depth,
         )
         C = ClusterChain.from_codes(codes, 2**depth)
         min_codes = params.min_codes if params.min_codes is not None else params.nr_splits

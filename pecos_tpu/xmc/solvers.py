@@ -379,3 +379,28 @@ def loss_name(solver_type: str) -> str:
     if st in (SOLVER_LR, SOLVER_LR_PRIMAL):
         return "logistic"
     raise ValueError(f"unknown solver_type {solver_type!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def prune_topk_device(W: jax.Array, threshold: float, K: int):
+    """Device-side weight pruning: |w| < threshold -> 0, keep the K largest
+    |w| per label (reference threshold + max_nonzeros_per_label,
+    linear_solver.hpp:718-778).
+
+    Returns (idx (Lb, K) int32, vals (Lb, K) f32, vals==0 at dropped slots).
+    Rationale: the tunnel between host and chip moves device->host bytes at
+    single-digit MB/s, so downloading the dense (D, Lb) solution dominates
+    training wall-clock; the sparse top-K download is 10-100x smaller.
+    """
+    aW = jnp.abs(W)
+    aW = jnp.where(aW >= threshold, aW, 0.0)
+    mags, idx = jax.lax.top_k(aW.T, K)  # (Lb, K)
+    vals = jnp.take_along_axis(W.T, idx, axis=1)
+    vals = jnp.where(mags > 0, vals, 0.0)
+    return idx.astype(jnp.int32), vals
+
+
+@jax.jit
+def count_above_threshold(W: jax.Array, threshold: float) -> jax.Array:
+    """Max per-label count of |w| >= threshold — sizes the top-K download."""
+    return jnp.max(jnp.sum(jnp.abs(W) >= threshold, axis=0))

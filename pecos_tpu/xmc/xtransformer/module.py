@@ -78,6 +78,112 @@ def tokenize_corpus(
     return out
 
 
+class XMCTextDataset:
+    """Sharded container of tokenized text + label/matching matrices.
+
+    TPU redesign of the reference XMCTextDataset (module.py:369-466): the
+    reference tokenizes lazily per __getitem__ under a torch DataLoader; here
+    tokens are fixed-shape numpy arrays (the jit-friendly wire format), and
+    the shard surface — get_shard(start, end), save(dir, num_shards),
+    load(dir, shard) — matches the reference so multi-node trainers can stage
+    one shard per worker.  Shards are npz + scipy npz (no pickle)."""
+
+    def __init__(
+        self,
+        tokens: dict,
+        Y: Optional[smat.csr_matrix] = None,
+        M: Optional[smat.csr_matrix] = None,
+        R: Optional[smat.csr_matrix] = None,
+    ):
+        n = tokens["input_ids"].shape[0]
+        for mat, nm in ((Y, "Y"), (M, "M"), (R, "R")):
+            if mat is not None and mat.shape[0] != n:
+                raise ValueError(f"{nm} rows ({mat.shape[0]}) != instances ({n})")
+        self.tokens = tokens
+        self.Y = Y.tocsr() if Y is not None else None
+        self.M = M.tocsr() if M is not None else None
+        self.R = R.tocsr() if R is not None else None
+
+    @classmethod
+    def from_text(cls, tokenizer, corpus, truncate_length=128, Y=None, M=None, R=None, cache_dir=None):
+        toks = tokenize_corpus(tokenizer, corpus, truncate_length, cache_dir=cache_dir)
+        return cls(toks, Y=Y, M=M, R=R)
+
+    def __len__(self):
+        return self.tokens["input_ids"].shape[0]
+
+    def get_shard(self, start: int, end: int) -> "XMCTextDataset":
+        sl = slice(start, end)
+        return self.__class__(
+            {k: v[sl] for k, v in self.tokens.items()},
+            Y=self.Y[sl] if self.Y is not None else None,
+            M=self.M[sl] if self.M is not None else None,
+            R=self.R[sl] if self.R is not None else None,
+        )
+
+    def save(self, save_dir: str, num_shards: Optional[int] = None, init_shard_idx: int = 0):
+        import json
+        import os
+
+        from pecos_tpu.utils import smat_util
+
+        num_shards = num_shards or 1
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "model": self.__class__.__name__,
+                    "num_shards": num_shards,
+                    "num_instances": len(self),
+                },
+                f,
+                indent=True,
+            )
+        chunk = (len(self) + num_shards - 1) // num_shards
+        for sid in range(init_shard_idx, init_shard_idx + num_shards):
+            shard = self.get_shard(chunk * sid, min(chunk * (sid + 1), len(self)))
+            sdir = os.path.join(save_dir, str(sid))
+            os.makedirs(sdir, exist_ok=True)
+            np.savez(os.path.join(sdir, "tokens.npz"), **shard.tokens)
+            for nm in ("Y", "M", "R"):
+                mat = getattr(shard, nm)
+                if mat is not None:
+                    smat_util.save_matrix(os.path.join(sdir, f"{nm}.npz"), mat)
+
+    @classmethod
+    def get_data_stats(cls, load_dir: str) -> dict:
+        import json
+
+        with open(f"{load_dir}/config.json") as f:
+            return json.load(f)
+
+    @classmethod
+    def load(cls, load_dir: str, shard: int = 0) -> "XMCTextDataset":
+        import os
+
+        from pecos_tpu.utils import smat_util
+
+        nr = cls.get_data_stats(load_dir)["num_shards"]
+        if shard >= nr:
+            raise ValueError(f"shard#{shard} requested but only {nr} shards saved")
+        sdir = os.path.join(load_dir, str(shard))
+        z = np.load(os.path.join(sdir, "tokens.npz"))
+        tokens = {k: z[k] for k in z.files}
+        mats = {}
+        for nm in ("Y", "M", "R"):
+            p = os.path.join(sdir, f"{nm}.npz")
+            mats[nm] = smat_util.load_matrix(p).tocsr() if os.path.exists(p) else None
+        return cls(tokens, **mats)
+
+    def label_batches(self, max_active: int, pad_label: int, rng, Cp: float = 1.0, Cn: float = 1.0):
+        """Active-label arrays for this shard (see build_active_label_batches)."""
+        if self.Y is None:
+            raise ValueError("label_batches requires Y")
+        return build_active_label_batches(
+            self.Y, self.M, self.R, max_active, pad_label, rng, Cp=Cp, Cn=Cn
+        )
+
+
 def build_active_label_batches(
     Y: smat.csr_matrix,
     M: Optional[smat.csr_matrix],

@@ -211,32 +211,14 @@ class RankingModel(pecos_tpu.BaseClass):
 
     # ------------------------------------------------------------------ train
     @classmethod
-    def train(
-        cls,
-        inputs: Sequence[str],  # B*G flattened "query [SEP] item" texts
-        labels: np.ndarray,  # (B*G,) relevance in [0, 1]
-        numeric_feats: Optional[np.ndarray] = None,  # (B*G, F)
-        train_params=None,
-        pred_params=None,
-        **kwargs,
-    ) -> "RankingModel":
+    def _training_context(cls, train_params, numr_dim: int):
+        """Model init + optimizer + the jitted train step, shared by the
+        in-memory and parquet-streaming training entry points."""
         import optax
 
-        train_params = cls.TrainParams.from_dict(train_params)
-        train_params.override_with_kwargs(kwargs)
-        numr_dim = numeric_feats.shape[1] if numeric_feats is not None else 0
         self = cls.init_model(train_params, numr_dim)
         enc = self.enc
         G = train_params.group_size if train_params.loss_fn != "pointwise" else 1
-        toks = tokenize_corpus(enc.tokenizer, inputs, train_params.truncate_length)
-        N = len(inputs)
-        if N % G:
-            raise ValueError(f"inputs length {N} not divisible by group_size {G}")
-        labels = np.asarray(labels, np.float32)
-
-        B = max(G, (train_params.batch_size // G) * G)
-        steps_per_epoch = max(1, N // B)
-        total = train_params.max_steps or steps_per_epoch * train_params.num_train_epochs
         tx = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adamw(train_params.learning_rate, weight_decay=train_params.weight_decay),
@@ -303,45 +285,134 @@ class RankingModel(pecos_tpu.BaseClass):
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        def finalize(params):
+            if use_lora:
+                # bake the low-rank deltas into the encoder weights: predict,
+                # save and load then work on the merged model unchanged
+                enc.encoder.params = jax.device_get(
+                    lora_apply(frozen_enc, params["lora"], lora_alpha)
+                )
+            else:
+                enc.encoder.params = jax.device_get(params["encoder"])
+            if params["numr"] is not None:
+                enc.numr_params = jax.device_get(params["numr"])
+            enc.head_params = jax.device_get(params["head"])
+            return self
+
+        return self, enc, G, params, opt_state, train_step, finalize
+
+    @classmethod
+    def _run_epoch_batches(
+        cls, train_step, params, opt_state, key, toks, labels, numeric_feats,
+        G: int, B: int, rng, total: int, step: int,
+    ):
+        """Shuffled group-batched pass over one (tokenized) data block."""
+        N = labels.shape[0]
+        groups = np.arange(N // G)
+        rng.shuffle(groups)
+        for s in range(0, len(groups) * G - B + 1, B) if N >= B else [0]:
+            gsel = groups[s // G : s // G + B // G]
+            idx = (gsel[:, None] * G + np.arange(G)[None, :]).ravel()
+            if len(idx) < B:
+                idx = np.concatenate([idx, idx[: B - len(idx)]])
+            batch = {
+                "input_ids": jnp.asarray(toks["input_ids"][idx]),
+                "attention_mask": jnp.asarray(toks["attention_mask"][idx]),
+                "labels": jnp.asarray(labels[idx]),
+                "numr": jnp.asarray(numeric_feats[idx]) if numeric_feats is not None else None,
+            }
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, batch, sub)
+            step += 1
+            if step % 20 == 0:
+                LOGGER.info(f"reranker step {step}/{total} loss={float(loss):.5f}")
+            if step >= total:
+                break
+        return params, opt_state, key, step
+
+    @classmethod
+    def train(
+        cls,
+        inputs: Sequence[str],  # B*G flattened "query [SEP] item" texts
+        labels: np.ndarray,  # (B*G,) relevance in [0, 1]
+        numeric_feats: Optional[np.ndarray] = None,  # (B*G, F)
+        train_params=None,
+        pred_params=None,
+        **kwargs,
+    ) -> "RankingModel":
+        train_params = cls.TrainParams.from_dict(train_params)
+        train_params.override_with_kwargs(kwargs)
+        numr_dim = numeric_feats.shape[1] if numeric_feats is not None else 0
+        self, enc, G, params, opt_state, train_step, finalize = cls._training_context(
+            train_params, numr_dim
+        )
+        N = len(inputs)
+        if N % G:
+            raise ValueError(f"inputs length {N} not divisible by group_size {G}")
+        toks = tokenize_corpus(enc.tokenizer, inputs, train_params.truncate_length)
+        labels = np.asarray(labels, np.float32)
+        B = max(G, (train_params.batch_size // G) * G)
+        steps_per_epoch = max(1, N // B)
+        total = train_params.max_steps or steps_per_epoch * train_params.num_train_epochs
         rng = np.random.default_rng(train_params.seed)
         key = jax.random.PRNGKey(train_params.seed)
-        groups = np.arange(N // G)
         step = 0
-        for epoch in range(max(1, train_params.num_train_epochs)):
-            rng.shuffle(groups)
-            for s in range(0, len(groups) * G - B + 1, B) if N >= B else [0]:
-                gsel = groups[s // G : s // G + B // G]
-                idx = (gsel[:, None] * G + np.arange(G)[None, :]).ravel()
-                if len(idx) < B:
-                    idx = np.concatenate([idx, idx[: B - len(idx)]])
-                batch = {
-                    "input_ids": jnp.asarray(toks["input_ids"][idx]),
-                    "attention_mask": jnp.asarray(toks["attention_mask"][idx]),
-                    "labels": jnp.asarray(labels[idx]),
-                    "numr": jnp.asarray(numeric_feats[idx]) if numeric_feats is not None else None,
-                }
-                key, sub = jax.random.split(key)
-                params, opt_state, loss = train_step(params, opt_state, batch, sub)
-                step += 1
-                if step % 20 == 0:
-                    LOGGER.info(f"reranker step {step}/{total} loss={float(loss):.5f}")
+        for _epoch in range(max(1, train_params.num_train_epochs)):
+            params, opt_state, key, step = cls._run_epoch_batches(
+                train_step, params, opt_state, key, toks, labels, numeric_feats,
+                G, B, rng, total, step,
+            )
+            if step >= total:
+                break
+        return finalize(params)
+
+    @classmethod
+    def train_streaming(
+        cls,
+        shard_paths: Sequence[str],
+        query_col: str = "query",
+        item_col: str = "item",
+        label_col: str = "relevance",
+        train_params=None,
+        pred_params=None,
+        **kwargs,
+    ) -> "RankingModel":
+        """Train from parquet shards one shard at a time — only the current
+        shard's rows are tokenized and resident (the reference streams shards
+        through HF datasets, reranker/data_utils.py:268-299).  Groups must not
+        straddle shard boundaries: each shard's row count must be divisible by
+        group_size (how the reference lays out its grouped parquet data)."""
+        train_params = cls.TrainParams.from_dict(train_params)
+        train_params.override_with_kwargs(kwargs)
+        self, enc, G, params, opt_state, train_step, finalize = cls._training_context(
+            train_params, 0
+        )
+        n_total = RankingDataUtils.get_parquet_rows(shard_paths)
+        B = max(G, (train_params.batch_size // G) * G)
+        steps_per_epoch = max(1, n_total // B)
+        total = train_params.max_steps or steps_per_epoch * train_params.num_train_epochs
+        rng = np.random.default_rng(train_params.seed)
+        key = jax.random.PRNGKey(train_params.seed)
+        step = 0
+        for _epoch in range(max(1, train_params.num_train_epochs)):
+            for df in RankingDataUtils.iter_parquet_shards(shard_paths):
+                inputs, labels = RankingDataUtils.build_pairs(
+                    df, query_col=query_col, item_col=item_col, label_col=label_col
+                )
+                if len(inputs) % G:
+                    raise ValueError(
+                        f"shard rows ({len(inputs)}) not divisible by group_size {G}"
+                    )
+                toks = tokenize_corpus(enc.tokenizer, inputs, train_params.truncate_length)
+                params, opt_state, key, step = cls._run_epoch_batches(
+                    train_step, params, opt_state, key, toks, labels, None,
+                    G, B, rng, total, step,
+                )
                 if step >= total:
                     break
             if step >= total:
                 break
-
-        if use_lora:
-            # bake the low-rank deltas into the encoder weights: predict,
-            # save and load then work on the merged model unchanged
-            enc.encoder.params = jax.device_get(
-                lora_apply(frozen_enc, params["lora"], lora_alpha)
-            )
-        else:
-            enc.encoder.params = jax.device_get(params["encoder"])
-        if params["numr"] is not None:
-            enc.numr_params = jax.device_get(params["numr"])
-        enc.head_params = jax.device_get(params["head"])
-        return self
+        return finalize(params)
 
     # ------------------------------------------------------------------ predict
     def predict(self, inputs: Sequence[str], numeric_feats: Optional[np.ndarray] = None, **kwargs):
@@ -446,3 +517,34 @@ class RankingDataUtils(object):
         inputs = (df[query_col].astype(str) + sep + df[item_col].astype(str)).tolist()
         labels = df[label_col].to_numpy(dtype=np.float32)
         return inputs, labels
+
+    @staticmethod
+    def _expand_paths(paths_or_folder) -> list:
+        import glob
+        import os
+
+        if isinstance(paths_or_folder, str):
+            if os.path.isdir(paths_or_folder):
+                return sorted(glob.glob(os.path.join(paths_or_folder, "*.parquet")))
+            return [paths_or_folder]
+        return list(paths_or_folder)
+
+    @classmethod
+    def get_parquet_rows(cls, paths_or_folder) -> int:
+        """Total row count from parquet footers only — no data read
+        (reference data_utils.py:268-284)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows for p in cls._expand_paths(paths_or_folder)
+        )
+
+    @classmethod
+    def iter_parquet_shards(cls, paths_or_folder, columns=None):
+        """Yield one DataFrame per parquet file — the streaming analog of the
+        reference's HF-datasets streaming shards (data_utils.py:291-299):
+        peak memory is one shard, not the corpus."""
+        import pandas as pd
+
+        for p in cls._expand_paths(paths_or_folder):
+            yield pd.read_parquet(p, columns=columns)

@@ -147,3 +147,35 @@ def test_non_power_of_two_nr_splits():
     # internal out-degree bounded by nr_splits
     for C in chain[:-1]:
         assert np.diff(C.tocsc().indptr).max() <= 5
+
+
+def test_imbalanced_ratio_splits():
+    """imbalanced_ratio > 0 (knob from newer pecos forks, used by reference
+    examples/pina params JSONs): the boundary may deviate up to ±ratio·n from
+    the median, cut at the widest score gap — so a 24/40 two-community mix
+    can split 24/40 rather than 32/32."""
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal(12).astype(np.float32)
+    b = rng.standard_normal(12).astype(np.float32)
+    feats = np.vstack(
+        [a + 0.05 * rng.standard_normal((24, 12)).astype(np.float32),
+         b + 0.05 * rng.standard_normal((40, 12)).astype(np.float32)]
+    )
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    codes = hierarchical_balanced_kmeans(
+        feats, 1, max_iter=10, seed=0, imbalanced_ratio=0.3
+    )
+    counts = np.bincount(codes, minlength=2)
+    assert sorted(counts.tolist()) == [24, 40], counts
+    # side assignment matches the community structure exactly
+    assert len(set(codes[:24])) == 1 and len(set(codes[24:])) == 1
+    # ratio=0 keeps the strict median split
+    codes0 = hierarchical_balanced_kmeans(feats, 1, max_iter=10, seed=0)
+    c0 = np.bincount(codes0, minlength=2)
+    assert abs(int(c0[0]) - int(c0[1])) <= 1
+    # imbalanced_depth=0 disables relaxation even with ratio set
+    codes_d = hierarchical_balanced_kmeans(
+        feats, 1, max_iter=10, seed=0, imbalanced_ratio=0.3, imbalanced_depth=0
+    )
+    cd = np.bincount(codes_d, minlength=2)
+    assert abs(int(cd[0]) - int(cd[1])) <= 1

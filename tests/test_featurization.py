@@ -106,3 +106,27 @@ def test_char_wb_analyzer():
     model = Tfidf.train(CORPUS, {"ngram_range": (2, 3), "analyzer": "char_wb"})
     X = model.predict(["the fox"])
     assert X.nnz > 0
+
+
+def test_streaming_file_train_matches_in_memory(tmp_path):
+    """Tfidf.train on a file path streams bounded chunks (reference trains
+    from file through a bounded buffer, tfidf.hpp:982-1126) and must produce
+    the identical model/matrix as in-memory train on the same lines."""
+    rng = np.random.default_rng(0)
+    vocab_pool = [f"tok{i}" for i in range(300)]
+    corpus = [
+        " ".join(rng.choice(vocab_pool, size=rng.integers(3, 20)))
+        for _ in range(500)
+    ]
+    path = tmp_path / "corpus.txt"
+    path.write_text("\n".join(corpus) + "\n", encoding="utf-8")
+
+    cfg = {"ngram_range": (1, 2), "norm": "l2", "max_feature": 400}
+    in_mem = Tfidf.train(corpus, dict(cfg))
+    streamed = Tfidf.train(str(path), {**cfg, "chunk_docs": 64})  # 8 chunks
+    assert streamed.nr_features == in_mem.nr_features
+    assert streamed.bases[0].vocab == in_mem.bases[0].vocab
+    np.testing.assert_allclose(streamed.bases[0].idf, in_mem.bases[0].idf, rtol=1e-6)
+    X1 = in_mem.predict(corpus)
+    X2 = streamed.predict(corpus)
+    assert (X1 != X2).nnz == 0

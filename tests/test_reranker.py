@@ -122,3 +122,48 @@ def test_lora_fine_tune_ranks(tiny):
     s = scores.reshape(-1, 4)
     acc = (s.argmax(axis=1) == 0).mean()
     assert acc > 0.8, f"lora ranking accuracy {acc}"
+
+
+def test_train_streaming_parquet(tiny, tmp_path):
+    """Parquet-shard streaming training (reference streams HF-datasets shards,
+    reranker/data_utils.py:268-299): one shard resident at a time, same
+    ranking quality as in-memory training on the concatenated data."""
+    import pandas as pd
+
+    from pecos_tpu.xmr.reranker import RankingModel
+    from pecos_tpu.xmr.reranker.model import RankingDataUtils
+
+    _, _, _, model_config = tiny
+    rows = []
+    for q in range(24):
+        for rel in [1.0, 0.0, 0.0, 0.0]:
+            word = "good" if rel > 0 else "bad"
+            rows.append({"query": f"query {q}", "item": f"{word} item", "relevance": rel})
+    df = pd.DataFrame(rows)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for i in range(3):
+        df.iloc[i * 32 : (i + 1) * 32].to_parquet(shard_dir / f"part-{i}.parquet")
+
+    assert RankingDataUtils.get_parquet_rows(str(shard_dir)) == 96
+    shards = list(RankingDataUtils.iter_parquet_shards(str(shard_dir)))
+    assert len(shards) == 3 and all(len(s) == 32 for s in shards)
+
+    model = RankingModel.train_streaming(
+        str(shard_dir),
+        train_params=dict(
+            model_type="distilbert",
+            model_config=model_config,
+            truncate_length=12,
+            batch_size=16,
+            num_train_epochs=6,
+            learning_rate=3e-3,
+            loss_fn="pairwise",
+            group_size=4,
+            seed=0,
+        ),
+    )
+    scores = model.predict(
+        ["q [SEP] good item", "q [SEP] bad item"], batch_size=2, truncate_length=12
+    )
+    assert scores[0] > scores[1]

@@ -225,3 +225,40 @@ def test_xtransformer_frozen_encoder(tiny_setup):
     truth = np.asarray(Y.argmax(axis=1)).ravel()
     # frozen random encoder still separable through the concat ranker (X_feat)
     assert (top1 == truth).mean() > 0.5
+
+
+def test_xmc_text_dataset_shards(tiny_setup, tmp_path):
+    """Shard save/load roundtrip (reference XMCTextDataset, module.py:369-466)."""
+    from transformers import DistilBertTokenizerFast
+
+    from pecos_tpu.xmc.xtransformer.module import XMCTextDataset
+
+    corpus, Y, X_feat, model_config = tiny_setup
+    tok = DistilBertTokenizerFast(vocab_file=model_config["vocab_file"])
+    M = (Y @ smat.csr_matrix(np.ones((8, 4), np.float32))).tocsr()
+    ds = XMCTextDataset.from_text(tok, corpus, truncate_length=16, Y=Y, M=M)
+    assert len(ds) == 64
+    # in-memory shard
+    sh = ds.get_shard(8, 24)
+    assert len(sh) == 16
+    np.testing.assert_array_equal(
+        sh.tokens["input_ids"], ds.tokens["input_ids"][8:24]
+    )
+    # disk roundtrip with 4 shards
+    d = str(tmp_path / "ds")
+    ds.save(d, num_shards=4)
+    assert XMCTextDataset.get_data_stats(d)["num_shards"] == 4
+    s2 = XMCTextDataset.load(d, shard=2)
+    assert len(s2) == 16
+    np.testing.assert_array_equal(
+        s2.tokens["input_ids"], ds.tokens["input_ids"][32:48]
+    )
+    assert (s2.Y != Y[32:48]).nnz == 0
+    assert (s2.M != M[32:48]).nnz == 0
+    assert s2.R is None
+    # label batches come out shard-local
+    rng = np.random.default_rng(0)
+    ids, tgt, costs = s2.label_batches(max_active=8, pad_label=8, rng=rng)
+    assert ids.shape == (16, 8)
+    with pytest.raises(ValueError):
+        XMCTextDataset.load(d, shard=9)
