@@ -300,32 +300,49 @@ def batch_search_level(
             jnp.clip(cand_id, 0, graph.neighbors.shape[0] - 1)
         ].reshape(B, expand * M)
         nbrs = jnp.where(has_cand.repeat(M, axis=1), nbrs, -1)
-        # dedup within the popped set (same neighbor from two candidates)
-        first = jnp.argsort(jnp.where(nbrs < 0, jnp.int32(2**30), nbrs), axis=1)
-        srt = jnp.take_along_axis(nbrs, first, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
-        )
-        inv = jnp.argsort(first, axis=1)
-        dup_self = jnp.take_along_axis(dup_sorted, inv, axis=1)
-        nbrs = jnp.where(dup_self, -1, nbrs)
         nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
         # dedup: mask out neighbors already present in beam
         dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
         nd = jnp.where(dup, INF, nd)
         nbrs = jnp.where(dup, -1, nbrs)
-        # merge beam + neighbors, keep ef best
-        all_ids = jnp.concatenate([ids, nbrs], axis=1)
-        all_d = jnp.concatenate([dists, nd], axis=1)
-        all_exp = jnp.concatenate([expanded, nbrs < 0], axis=1)
-        order = jnp.argsort(all_d, axis=1)[:, :ef]
-        ids = jnp.take_along_axis(all_ids, order, axis=1)
-        dists = jnp.take_along_axis(all_d, order, axis=1)
-        expanded = jnp.take_along_axis(all_exp, order, axis=1)
-        return ids, dists, expanded, steps + 1
+        # merge beam + neighbors, keep ef best.  One multi-operand lax.sort:
+        # measured 3x cheaper per step than argsort + take_along_axis chains
+        # inside the loop (full sorts are the dominant in-loop cost on TPU;
+        # see scripts/probe_hnsw_parts.py)
+        sd, si, se = jax.lax.sort(
+            (
+                jnp.concatenate([dists, nd], axis=1),
+                jnp.concatenate([ids, nbrs], axis=1),
+                jnp.concatenate([expanded, nbrs < 0], axis=1),
+            ),
+            num_keys=1,
+        )
+        sd, si, se = sd[:, :ef], si[:, :ef], se[:, :ef]
+        # a node popped from two parents in the same step enters twice; both
+        # copies share one exact distance, so they sort adjacent — disable the
+        # second copy (residual non-adjacent ties are cleaned up post-loop)
+        dup2 = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)],
+            axis=1,
+        )
+        si = jnp.where(dup2, -1, si)
+        sd = jnp.where(dup2, INF, sd)
+        se = se | dup2
+        return si, sd, se, steps + 1
 
     ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
-    return ids, dists
+    # post-loop exact dedup: group by id, drop copies, restore distance order
+    big = jnp.int32(2**30)
+    oid = jnp.where(ids < 0, big, ids)
+    k_id, k_d = jax.lax.sort((oid, dists), num_keys=1)
+    dupf = (
+        jnp.concatenate([jnp.zeros((B, 1), bool), k_id[:, 1:] == k_id[:, :-1]], axis=1)
+        & (k_id < big)
+    )
+    k_d = jnp.where(dupf, INF, k_d)
+    k_id = jnp.where(dupf, big, k_id)
+    d2, id2 = jax.lax.sort((k_d, k_id), num_keys=1)
+    return jnp.where(id2 >= big, -1, id2), d2
 
 
 @functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
@@ -376,16 +393,16 @@ def batch_search_level_pq(
         dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
         nd = jnp.where(dup, INF, nd)
         nbrs = jnp.where(dup, -1, nbrs)
-        all_ids = jnp.concatenate([ids, nbrs], axis=1)
-        all_d = jnp.concatenate([dists, nd], axis=1)
-        all_exp = jnp.concatenate([expanded, nbrs < 0], axis=1)
-        order = jnp.argsort(all_d, axis=1)[:, :ef]
-        return (
-            jnp.take_along_axis(all_ids, order, axis=1),
-            jnp.take_along_axis(all_d, order, axis=1),
-            jnp.take_along_axis(all_exp, order, axis=1),
-            steps + 1,
+        # one multi-operand merge sort (see batch_search_level)
+        sd, si, se = jax.lax.sort(
+            (
+                jnp.concatenate([dists, nd], axis=1),
+                jnp.concatenate([ids, nbrs], axis=1),
+                jnp.concatenate([expanded, nbrs < 0], axis=1),
+            ),
+            num_keys=1,
         )
+        return si[:, :ef], sd[:, :ef], se[:, :ef], steps + 1
 
     ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
     return ids, dists
