@@ -345,7 +345,7 @@ def batch_search_level(
     return jnp.where(id2 >= big, -1, id2), d2
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
 def batch_search_level_pq(
     codes: jax.Array,  # (N, S) uint8 PQ codes
     neighbors: jax.Array,  # (N, M) int32
@@ -354,12 +354,17 @@ def batch_search_level_pq(
     *,
     ef: int,
     max_steps: int,
+    expand: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """PQ4 variant of batch_search_level: distances come from the per-query
-    LUT gather (quantizer_impl/common.hpp semantics) instead of exact dots."""
+    LUT gather (quantizer_impl/common.hpp semantics) instead of exact dots.
+    Same multi-pop + single multi-operand merge structure as the exact
+    search: sequential loop iterations are the cost on TPU, so `expand`
+    candidates are popped per step."""
     from .pq import pq_gather_dist
 
     B, E = entry_ids.shape
+    M = neighbors.shape[1]
 
     def dist(ids):
         return pq_gather_dist(lut, codes, ids)
@@ -383,12 +388,13 @@ def batch_search_level_pq(
 
     def body(state):
         ids, dists, expanded, steps = state
-        cand_pos = jnp.argmin(jnp.where(expanded, INF, dists), axis=1)
-        cand_id = jnp.take_along_axis(ids, cand_pos[:, None], axis=1)
-        has_cand = jnp.take_along_axis(jnp.logical_not(expanded), cand_pos[:, None], axis=1)
-        expanded = expanded.at[jnp.arange(B), cand_pos].set(True)
-        nbrs = neighbors[jnp.clip(cand_id[:, 0], 0, neighbors.shape[0] - 1)]
-        nbrs = jnp.where(has_cand, nbrs, -1)
+        masked = jnp.where(expanded, INF, dists)
+        neg_top, cand_pos = jax.lax.top_k(-masked, expand)
+        has_cand = -neg_top < INF * 0.5
+        cand_id = jnp.take_along_axis(ids, cand_pos, axis=1)
+        expanded = expanded.at[jnp.arange(B)[:, None], cand_pos].set(True)
+        nbrs = neighbors[jnp.clip(cand_id, 0, neighbors.shape[0] - 1)].reshape(B, expand * M)
+        nbrs = jnp.where(has_cand.repeat(M, axis=1), nbrs, -1)
         nd = jnp.where(nbrs >= 0, dist(nbrs), INF)
         dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
         nd = jnp.where(dup, INF, nd)
@@ -402,10 +408,30 @@ def batch_search_level_pq(
             ),
             num_keys=1,
         )
-        return si[:, :ef], sd[:, :ef], se[:, :ef], steps + 1
+        sd, si, se = sd[:, :ef], si[:, :ef], se[:, :ef]
+        # same-step duplicate copies share one LUT distance -> adjacent
+        dup2 = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)],
+            axis=1,
+        )
+        si = jnp.where(dup2, -1, si)
+        sd = jnp.where(dup2, INF, sd)
+        se = se | dup2
+        return si, sd, se, steps + 1
 
     ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
-    return ids, dists
+    # post-loop exact dedup (see batch_search_level)
+    big = jnp.int32(2**30)
+    oid = jnp.where(ids < 0, big, ids)
+    k_id, k_d = jax.lax.sort((oid, dists), num_keys=1)
+    dupf = (
+        jnp.concatenate([jnp.zeros((B, 1), bool), k_id[:, 1:] == k_id[:, :-1]], axis=1)
+        & (k_id < big)
+    )
+    k_d = jnp.where(dupf, INF, k_d)
+    k_id = jnp.where(dupf, big, k_id)
+    d2, id2 = jax.lax.sort((k_d, k_id), num_keys=1)
+    return jnp.where(id2 >= big, -1, id2), d2
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))

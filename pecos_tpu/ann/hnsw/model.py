@@ -539,6 +539,30 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
         )
         return cls(hnsw, pq, pred_params=pred_params)
 
+    @classmethod
+    def from_hnsw(
+        cls,
+        hnsw: HNSW,
+        *,
+        num_subspaces: int = 64,
+        kmeans_iters: int = 10,
+        seed: int = 0,
+        pred_params=None,
+    ) -> "HNSWProductQuantizer4Bits":
+        """Quantize an ALREADY-BUILT graph: reuses the (expensive) HNSW build
+        and only trains the PQ codebooks + codes on its features.  The
+        reference has no equivalent (its PQ4 variant always rebuilds,
+        hnsw.hpp:976-1035) — on TPU the graph build dominates wall-clock, so
+        grafting PQ onto an existing index is the natural workflow."""
+        import scipy.sparse as _smat
+
+        from .pq import train_pq4
+
+        if _smat.issparse(hnsw.feats):
+            raise ValueError("PQ4 quantization requires dense features (data_type='drm')")
+        pq = train_pq4(hnsw.feats, num_subspaces=num_subspaces, iters=kmeans_iters, seed=seed)
+        return cls(hnsw, pq, pred_params=pred_params)
+
     def predict(self, X, pred_params=None, **kwargs):
         from .graph import batch_greedy_descent, batch_search_level_pq
         from .pq import build_lut

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--efS", type=int, nargs="*", default=[10, 25, 50, 100, 200, 400])
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--pq", action="store_true", help="bench HNSWProductQuantizer4Bits")
+    ap.add_argument("--rerank-mult", type=int, default=2, help="PQ num_rerank = mult * efS")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--save-model", default="")
     ap.add_argument("--load-model", default="")
@@ -57,9 +58,18 @@ def main():
 
     cls = HNSWProductQuantizer4Bits if args.pq else HNSW
     if args.load_model:
-        model = cls.load(args.load_model)
-        build_s = -1.0
-        print(f"loaded model from {args.load_model}", flush=True)
+        if args.pq and not os.path.exists(os.path.join(args.load_model, "pq.npz")):
+            # plain HNSW dir: graft PQ4 codebooks onto the existing graph
+            t0 = time.time()
+            model = HNSWProductQuantizer4Bits.from_hnsw(HNSW.load(args.load_model))
+            build_s = time.time() - t0
+            print(f"pq-from-hnsw quantize: {build_s:.1f}s", flush=True)
+            if args.save_model:
+                model.save(args.save_model)
+        else:
+            model = cls.load(args.load_model)
+            build_s = -1.0
+            print(f"loaded model from {args.load_model}", flush=True)
     else:
         t0 = time.time()
         if args.pq:
@@ -83,9 +93,10 @@ def main():
     for efS in args.efS:
         ids = None
         best_qps = 0.0
+        kw = {"num_rerank": args.rerank_mult * efS} if args.pq else {}
         for _ in range(args.repeats + 1):  # first rep warms the jit cache
             t0 = time.time()
-            ids, _ = model.predict(queries, efS=efS, topk=k)
+            ids, _ = model.predict(queries, efS=efS, topk=k, **kw)
             ids = np.asarray(ids)  # forces full sync through the async tunnel
             dt = time.time() - t0
             best_qps = max(best_qps, queries.shape[0] / dt)

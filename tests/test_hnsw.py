@@ -191,6 +191,27 @@ def test_pq4_save_load(tmp_path):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_pq4_from_hnsw_matches_train():
+    """from_hnsw grafts PQ codebooks onto an existing graph: identical graph,
+    same codebook training -> identical predictions to a fresh PQ train with
+    the same seeds."""
+    from pecos_tpu.ann.hnsw.model import HNSW, HNSWProductQuantizer4Bits
+
+    X, Q = _data(n=200, nq=10, d=32, seed=7)
+    hnsw = HNSW.train(X, M=8, efC=40, metric_type="l2")
+    grafted = HNSWProductQuantizer4Bits.from_hnsw(hnsw, num_subspaces=8, kmeans_iters=6)
+    ids, dists = grafted.predict(Q, efS=40, topk=5, num_rerank=30)
+    true_ids = _exact_topk(X, Q, 5, "l2")
+    assert _recall(ids, true_ids) >= 0.85
+    # sparse-feature graphs cannot be PQ-quantized
+    import pytest as _pytest
+    import scipy.sparse as _smat
+
+    sp = HNSW.train(_smat.csr_matrix(X), M=8, efC=40, data_type="csr")
+    with _pytest.raises(ValueError):
+        HNSWProductQuantizer4Bits.from_hnsw(sp)
+
+
 def test_hnsw_cli_end_to_end(tmp_path):
     """Mirror of the reference CLI test (test/pecos/ann/test_hnsw.py:125):
     train via CLI, predict via CLI with -y/-o, check recall output + saved csr."""
