@@ -160,6 +160,29 @@ def scatter_queries(ids: jax.Array, vals: jax.Array, D: int, bias: float) -> jax
     return X[:, : D + 1]
 
 
+def score_candidates_dense_sparse(
+    qids: jax.Array,  # (N, Qn) int32, pad id >= D+1 with val 0
+    qvals: jax.Array,  # (N, Qn) float32
+    layer: DeviceLayer,
+    cand: jax.Array,  # (N, K)
+) -> jax.Array:
+    """Dense-layout layer scored directly from sparse queries.
+
+    scores[b, l] = sum_c qvals[b, c] * W[qids[b, c], l] — a row gather of W
+    plus one contraction.  Rationale: the alternative (densify the query
+    block, then (B, D+1) @ W) streams the full gigabyte-scale dense X through
+    HBM for every batch; measured on this chip that one matmul costs more
+    than the entire rest of the 5-level chain (~150 ms vs ~15 ms at
+    Wiki-500K geometry).  Padded qids clip onto the bias row; their vals are
+    0 so they contribute nothing."""
+    W = layer.W  # (D+1, L)
+    Wg = W[jnp.clip(qids, 0, W.shape[0] - 1)]  # (N, Qn, L)
+    scores_all = jnp.einsum(
+        "bql,bq->bl", Wg, qvals, preferred_element_type=jnp.float32
+    )
+    return jnp.take_along_axis(scores_all, cand, axis=1)
+
+
 def score_candidates(X: jax.Array, layer: DeviceLayer, cand: jax.Array) -> jax.Array:
     """Raw scores x . w_l for candidate labels. X (N, D+1), cand (N, K) -> (N, K)."""
     if layer.kind == "dense":
@@ -249,6 +272,8 @@ def beam_step(
     cand_safe = jnp.clip(cand, 0, layer.nr_labels - 1)
     if layer.kind == "plabel" and qids is not None:
         raw = score_candidates_sparse(qids, qvals, layer, cand_safe)
+    elif layer.kind == "dense" and X is None:
+        raw = score_candidates_dense_sparse(qids, qvals, layer, cand_safe)
     else:
         raw = score_candidates(X, layer, cand_safe)
     val = pp.transform_jnp(raw)
@@ -440,16 +465,24 @@ class CompiledHierModel:
         if key not in self._cache:
             D = self.nr_features
             bias = self.bias
-            has_dense = any(l.kind == "dense" for l in self.layers)
+            # dense layers score via the sparse W-row gather unless the
+            # (batch, query-cap, L) gather intermediate would be too large —
+            # only then pay the dense query scatter + full matmul
+            qn = cap + 128  # bias block appended below
+            has_dense = any(
+                l.kind == "dense" and batch * qn * l.nr_labels > (1 << 28)
+                for l in self.layers
+            )
             has_plabel = any(l.kind == "plabel" for l in self.layers)
 
             @jax.jit
             def fn(ids, vals, layers):
-                # densify only when a dense-layout layer needs it
+                # densify only when a too-wide dense layer needs it
                 X = scatter_queries(ids, vals, D, bias) if has_dense else None
-                if has_plabel:
+                if has_plabel or not has_dense:
                     # append the bias feature in a 128-wide padded block so the
-                    # query capacity stays lane-aligned (cap+1 would be ragged)
+                    # query capacity stays lane-aligned (cap+1 would be ragged);
+                    # also needed by the dense-from-sparse scorer (X is None)
                     B = ids.shape[0]
                     if bias > 0:
                         extra_i = jnp.full((B, 128), D + 1, jnp.int32).at[:, 0].set(D)

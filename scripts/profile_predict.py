@@ -63,7 +63,7 @@ def main():
         sub = model.layers[:depth]
         has_dense = any(l.kind == "dense" for l in sub)
 
-        def fn(i, v, layers=tuple(sub), d=depth):
+        def fn(i, v, layers, d=depth):
             X = scatter_queries(i, v, D, bias) if has_dense else None
             B = i.shape[0]
             extra_i = jnp.full((B, 128), D + 1, jnp.int32).at[:, 0].set(D)
@@ -73,8 +73,8 @@ def main():
             k = 20 if d == model.depth else 10
             return chain_predict(X, list(layers), 10, k, pp[:d], qids=qi, qvals=qv)
 
-        jfn = jax.jit(fn)
-        t = timed(jfn, ids_d, vals_d)
+        jfn = jax.jit(fn, static_argnames=("d",))
+        t = timed(jfn, ids_d, vals_d, tuple(sub))
         layer = model.layers[depth - 1]
         print(
             f"depth {depth} ({layer.kind} L={layer.nr_labels}): cumulative "
