@@ -465,13 +465,19 @@ class CompiledHierModel:
         if key not in self._cache:
             D = self.nr_features
             bias = self.bias
-            # dense layers score via the sparse W-row gather unless the
-            # (batch, query-cap, L) gather intermediate would be too large —
-            # only then pay the dense query scatter + full matmul
+            # dense layers score via the sparse W-row gather only when the
+            # densified query block would be genuinely large (the win is
+            # skipping a GB-scale (B, D+1) scatter + matmul per batch); for
+            # small D the scatter is cheap and the matmul path keeps scoring
+            # bit-identical to the streaming/mmap predictor.  A dense layer
+            # too wide for the gather intermediate also forces the scatter.
             qn = cap + 128  # bias block appended below
-            has_dense = any(
-                l.kind == "dense" and batch * qn * l.nr_labels > (1 << 28)
-                for l in self.layers
+            has_dense = any(l.kind == "dense" for l in self.layers) and (
+                batch * (D + 2) <= (1 << 26)
+                or any(
+                    l.kind == "dense" and batch * qn * l.nr_labels > (1 << 28)
+                    for l in self.layers
+                )
             )
             has_plabel = any(l.kind == "plabel" for l in self.layers)
 
