@@ -285,14 +285,47 @@ def solve_sparse_rows(
     f32 = jnp.float32
     rows = jnp.arange(P, dtype=jnp.int32)[:, None]
 
+    # both hot contractions materialize a (pc, xcap, ns) block; chunk the row
+    # dimension so that block stays ~64M elements — at full-corpus clusters
+    # (P=300K+, top tree levels) the unchunked (P, xcap, ns) tensor plus CG
+    # temporaries exceeds HBM (observed 18.4G needed on a 15.75G chip)
+    pc = max(1, min(P, (1 << 26) // max(1, xcap * ns)))
+    n_chunks = -(-P // pc)
+    P_pad = n_chunks * pc
+    if P_pad != P:
+        x_ids_c = jnp.concatenate(
+            [x_ids, jnp.full((P_pad - P, xcap), Db, x_ids.dtype)], axis=0
+        )
+        x_vals_c = jnp.concatenate(
+            [x_vals, jnp.zeros((P_pad - P, xcap), x_vals.dtype)], axis=0
+        )
+    else:
+        x_ids_c, x_vals_c = x_ids, x_vals
+    ids_r = x_ids_c.reshape(n_chunks, pc, xcap)
+    vals_r = x_vals_c.reshape(n_chunks, pc, xcap)
+
     def margins(W):  # W (Db+1, ns) with a padding row at Db
-        Wg = W[x_ids]  # (P, xcap, ns)
-        return jnp.einsum("pxn,px->pn", Wg, x_vals, preferred_element_type=f32)
+        def step(_, blk):
+            ids_b, vals_b = blk
+            Wg = W[ids_b]  # (pc, xcap, ns)
+            return None, jnp.einsum("pxn,px->pn", Wg, vals_b, preferred_element_type=f32)
+
+        _, parts = jax.lax.scan(step, None, (ids_r, vals_r))
+        return parts.reshape(P_pad, ns)[:P]
 
     def xt_apply(G):  # (P, ns) -> (Db+1, ns)
-        contrib = x_vals[:, :, None] * G[:, None, :]  # (P, xcap, ns)
-        out = jnp.zeros((Db + 1, ns), f32)
-        return out.at[x_ids].add(contrib)
+        G_pad = jnp.concatenate([G, jnp.zeros((P_pad - P, ns), f32)], axis=0) if P_pad != P else G
+        G_r = G_pad.reshape(n_chunks, pc, ns)
+
+        def step(acc, blk):
+            ids_b, vals_b, g_b = blk
+            contrib = vals_b[:, :, None] * g_b[:, None, :]  # (pc, xcap, ns)
+            return acc.at[ids_b].add(contrib), None
+
+        out, _ = jax.lax.scan(
+            step, jnp.zeros((Db + 1, ns), f32), (ids_r, vals_r, G_r)
+        )
+        return out
 
     def obj(m):
         return jnp.sum(c * _xi(loss, y * m), axis=0)
