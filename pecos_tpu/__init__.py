@@ -150,3 +150,18 @@ class BaseClass(metaclass=_ClassRegistry):
         d = dict(d)
         d["__meta__"] = {"class_fullname": class_fullname(cls)}
         return d
+
+
+# -- process-level runtime tuning (idempotent, opt-out via env) --------------
+# 1. malloc: keep freed large blocks in-heap — first-touch page faults on the
+#    target VMs cost ~250 us/page, so buffer reuse is a >100x win for the
+#    host-side pipelines (see utils/jax_util.tune_host_allocator).
+# 2. persistent XLA compilation cache: remote TPU compiles cost minutes; a
+#    cache hit loads in seconds.  Respects any user-configured cache dir.
+from pecos_tpu.utils import jax_util as _jax_util  # noqa: E402
+
+_jax_util.tune_host_allocator()
+try:
+    _jax_util.enable_compilation_cache()
+except Exception:  # pragma: no cover - jax unavailable/misconfigured
+    pass

@@ -139,9 +139,13 @@ struct StringSet {
     std::string blob;
     std::vector<int64_t> offsets{0};
     std::vector<uint64_t> hashes;
+    std::vector<int64_t> dfs;  // document frequency per stored token
+
+    std::vector<uint32_t> vals;
 
     StringSet() {
         keys.assign(1 << 12, 0);
+        vals.assign(1 << 12, 0);
         mask = (1 << 12) - 1;
     }
 
@@ -149,30 +153,39 @@ struct StringSet {
         if (n * 2 <= mask) return;
         size_t cap = (mask + 1) * 2;
         std::vector<uint64_t> nk(cap, 0);
+        std::vector<uint32_t> nv(cap, 0);
         uint64_t nm = cap - 1;
-        for (uint64_t k : keys) {
+        for (size_t j = 0; j <= mask; ++j) {
+            uint64_t k = keys[j];
             if (!k) continue;
             uint64_t i = k & nm;
             while (nk[i]) i = (i + 1) & nm;
             nk[i] = k;
+            nv[i] = vals[j];
         }
         keys.swap(nk);
+        vals.swap(nv);
         mask = nm;
     }
 
-    void add(uint64_t h, const char* s, size_t len) {
+    // returns the stored index of h, inserting (with df 0) when new.
+    // vals[slot] maps the open-addressing slot to the storage index.
+    size_t add(uint64_t h, const char* s, size_t len) {
         uint64_t i = h & mask;
         for (;;) {
             if (!keys[i]) {
                 keys[i] = h;
+                vals[i] = (uint32_t)hashes.size();
                 ++n;
                 blob.append(s, len);
                 offsets.push_back((int64_t)blob.size());
                 hashes.push_back(h);
+                dfs.push_back(0);
+                size_t ret = hashes.size() - 1;
                 maybe_grow();
-                return;
+                return ret;
             }
-            if (keys[i] == h) return;
+            if (keys[i] == h) return (size_t)vals[i];
             i = (i + 1) & mask;
         }
     }
@@ -201,6 +214,7 @@ struct TokResult {
     std::string str_blob;
     std::vector<int64_t> str_offsets{0};
     std::vector<uint64_t> str_hashes;
+    std::vector<int64_t> str_dfs;
 };
 
 struct DocEmitter {
@@ -211,8 +225,9 @@ struct DocEmitter {
     inline void emit(const char* s, size_t len) {
         uint64_t h = fnv1a_str(s, len);
         bool first_in_doc = counter.add(h);
-        if (strings && first_in_doc && !strings->contains(h)) {
-            strings->add(h, s, len);
+        if (strings && first_in_doc) {
+            size_t ix = strings->add(h, s, len);
+            strings->dfs[ix]++;
         }
     }
 };
@@ -359,15 +374,15 @@ void* tok_count(const char* blob, const int64_t* offsets, int64_t n_docs, int an
         for (auto& o : outs) {
             StringSet& s = o.strings;
             for (size_t j = 0; j < s.hashes.size(); ++j) {
-                if (!global.contains(s.hashes[j])) {
-                    global.add(s.hashes[j], s.blob.data() + s.offsets[j],
-                               (size_t)(s.offsets[j + 1] - s.offsets[j]));
-                }
+                size_t gix = global.add(s.hashes[j], s.blob.data() + s.offsets[j],
+                                        (size_t)(s.offsets[j + 1] - s.offsets[j]));
+                global.dfs[gix] += s.dfs[j];
             }
         }
         r->str_blob.swap(global.blob);
         r->str_offsets.swap(global.offsets);
         r->str_hashes.swap(global.hashes);
+        r->str_dfs.swap(global.dfs);
     }
     return r;
 }
@@ -385,12 +400,14 @@ void tok_fill(void* handle, int64_t* doc_indptr, uint64_t* hashes, int32_t* coun
     }
 }
 
-void tok_fill_strings(void* handle, char* blob, int64_t* str_offsets, uint64_t* str_hashes) {
+void tok_fill_strings(void* handle, char* blob, int64_t* str_offsets, uint64_t* str_hashes,
+                      int64_t* str_dfs) {
     TokResult* r = (TokResult*)handle;
     if (!r->str_blob.empty()) std::memcpy(blob, r->str_blob.data(), r->str_blob.size());
     std::memcpy(str_offsets, r->str_offsets.data(), r->str_offsets.size() * sizeof(int64_t));
     if (!r->str_hashes.empty()) {
         std::memcpy(str_hashes, r->str_hashes.data(), r->str_hashes.size() * sizeof(uint64_t));
+        std::memcpy(str_dfs, r->str_dfs.data(), r->str_dfs.size() * sizeof(int64_t));
     }
 }
 
@@ -402,5 +419,82 @@ void tok_hash_strings(const char* blob, const int64_t* offsets, int64_t n, uint6
         out[i] = fnv1a_str(blob + offsets[i], (size_t)(offsets[i + 1] - offsets[i]));
     }
 }
+
+// byte-lexicographic argsort of packed strings (vocabulary column ordering).
+// Replaces a numpy pipeline that materialized ~1 GB of temporaries — on the
+// target VMs first-touch page faults make that the single hottest phase of
+// TF-IDF train; here the only allocation is the caller-provided order array.
+// order receives a permutation of [0, n): position j of the sorted sequence
+// is the token at idx[order[j]]
+void tok_sort_order(const char* blob, const int64_t* offsets, const int64_t* idx,
+                    int64_t n, int64_t* order) {
+    // 8-byte big-endian prefix keys resolve nearly all comparisons without
+    // touching the string bytes again (memcmp order == big-endian uint64
+    // order for zero-padded prefixes; zero pad sorts shorter strings first)
+    std::vector<uint64_t> pref((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t a = idx[i];
+        size_t la = (size_t)(offsets[a + 1] - offsets[a]);
+        const unsigned char* s = (const unsigned char*)blob + offsets[a];
+        uint64_t p = 0;
+        size_t m = la < 8 ? la : 8;
+        for (size_t j = 0; j < m; ++j) p |= (uint64_t)s[j] << (56 - 8 * j);
+        pref[(size_t)i] = p;
+    }
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::sort(order, order + n, [&](int64_t oa, int64_t ob) {
+        if (pref[(size_t)oa] != pref[(size_t)ob]) return pref[(size_t)oa] < pref[(size_t)ob];
+        int64_t a = idx[oa], b = idx[ob];
+        size_t la = (size_t)(offsets[a + 1] - offsets[a]);
+        size_t lb = (size_t)(offsets[b + 1] - offsets[b]);
+        if (la <= 8 || lb <= 8) return la < lb;  // equal prefixes cover one string fully
+        int c = std::memcmp(blob + offsets[a] + 8, blob + offsets[b] + 8,
+                            (la < lb ? la : lb) - 8);
+        if (c) return c < 0;
+        return la < lb;
+    });
+}
+
+// open-addressing hash->value lookup table for predict-time vocab mapping
+// (the reference keeps a robin_hood map inside its C++ vectorizer,
+// tfidf.hpp:646+; same role here, built once per loaded model).
+struct TokLookup {
+    std::vector<uint64_t> keys;
+    std::vector<int64_t> vals;
+    uint64_t mask;
+};
+
+void* tok_lookup_build(const uint64_t* hashes, int64_t n) {
+    size_t cap = 1;
+    while ((int64_t)cap < n * 2) cap <<= 1;
+    TokLookup* t = new TokLookup();
+    t->keys.assign(cap, 0);
+    t->vals.assign(cap, -1);
+    t->mask = cap - 1;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t h = hashes[i];
+        uint64_t j = h & t->mask;
+        while (t->keys[j] && t->keys[j] != h) j = (j + 1) & t->mask;
+        t->keys[j] = h;
+        t->vals[j] = i;
+    }
+    return t;
+}
+
+// cols_out[i] = value for queries[i], or -1 when absent
+void tok_lookup(void* handle, const uint64_t* queries, int64_t nq, int64_t* cols_out) {
+    TokLookup* t = (TokLookup*)handle;
+    const uint64_t* keys = t->keys.data();
+    const int64_t* vals = t->vals.data();
+    uint64_t mask = t->mask;
+    for (int64_t i = 0; i < nq; ++i) {
+        uint64_t h = queries[i];
+        uint64_t j = h & mask;
+        while (keys[j] && keys[j] != h) j = (j + 1) & mask;
+        cols_out[i] = keys[j] ? vals[j] : -1;
+    }
+}
+
+void tok_lookup_free(void* handle) { delete (TokLookup*)handle; }
 
 }  // extern "C"

@@ -65,9 +65,14 @@ def _load_tok_lib():
             lib.tok_str_blob_size.restype = ctypes.c_int64
             lib.tok_str_blob_size.argtypes = [ctypes.c_void_p]
             lib.tok_fill.argtypes = [ctypes.c_void_p, i64p, u64p, i32p]
-            lib.tok_fill_strings.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64p, u64p]
+            lib.tok_fill_strings.argtypes = [ctypes.c_void_p, ctypes.c_char_p, i64p, u64p, i64p]
             lib.tok_free.argtypes = [ctypes.c_void_p]
             lib.tok_hash_strings.argtypes = [ctypes.c_char_p, i64p, ctypes.c_int64, u64p]
+            lib.tok_sort_order.argtypes = [ctypes.c_char_p, i64p, i64p, ctypes.c_int64, i64p]
+            lib.tok_lookup_build.restype = ctypes.c_void_p
+            lib.tok_lookup_build.argtypes = [u64p, ctypes.c_int64]
+            lib.tok_lookup.argtypes = [ctypes.c_void_p, u64p, ctypes.c_int64, i64p]
+            lib.tok_lookup_free.argtypes = [ctypes.c_void_p]
             _tok_lib = lib
         except Exception:  # toolchain missing: fall back to the Python path
             _NATIVE_OK = False
@@ -110,28 +115,46 @@ def _native_count(corpus, analyzer: str, lo: int, hi: int, truncate: int, want_s
         sblob = ctypes.create_string_buffer(max(int(blob_sz), 1))
         soffs = np.zeros(n_uniq + 1, np.int64)
         shash = np.zeros(n_uniq, np.uint64)
+        sdfs = np.zeros(n_uniq, np.int64)
         lib.tok_fill_strings(
             handle, sblob, soffs.ctypes.data_as(i64p),
             shash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            sdfs.ctypes.data_as(i64p),
         )
         raw = sblob.raw[: int(blob_sz)]
-        return doc_indptr, hashes, counts, (raw, soffs, shash)
+        return doc_indptr, hashes, counts, (raw, soffs, shash, sdfs)
     finally:
         lib.tok_free(handle)
+
+
+def _flat_rows(lens: np.ndarray) -> np.ndarray:
+    """row-id per flattened element for variable-length rows: the int32
+    cumsum equivalent of np.repeat(arange(n), lens) with ~1/4 the memory
+    traffic (first-touch page faults dominate large temporaries on the
+    target VMs, so footprint is wall-clock)."""
+    total = int(lens.sum())
+    rows = np.zeros(total, np.int32)
+    if len(lens) > 1:
+        rows[np.cumsum(lens[:-1])] = 1
+    return np.cumsum(rows, dtype=np.int32)
 
 
 def _void_keys(blob: bytes, offs: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """memcmp-sortable keys for the tokens selected by idx: right-zero-padded
     UTF-8 bytes viewed as a void dtype (byte order == codepoint order, zero
     pad sorts shorter strings first — identical to Python str ordering)."""
-    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    lens = offs[idx + 1] - offs[idx]
     n = len(idx)
     maxlen = int(lens.max()) if n else 1
     mat = np.zeros((max(n, 1), maxlen), np.uint8)
     if n:
-        rows = np.repeat(np.arange(n), lens)
-        within = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
-        src_pos = np.repeat(offs[idx], lens) + within
+        rows = _flat_rows(lens)
+        starts = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.arange(int(lens.sum()), dtype=np.int64)
+        within = flat
+        within -= starts[rows]  # in place: `flat` is dead after this
+        src_pos = offs[idx][rows] + within
         mat[rows, within] = np.frombuffer(blob, np.uint8)[src_pos]
     return mat[:n].view(f"V{maxlen}").ravel()
 
@@ -289,7 +312,21 @@ class _TfidfBase:
             dkey = -df[idx] if params.keep_frequent_feature else df[idx]
             order = np.lexsort((vk, dkey))
             idx = idx[order[: params.max_feature]]
-        order = np.argsort(_void_keys(blob, offs, idx))
+        # column ordering: byte-lexicographic sort in C++ (tok_sort_order) —
+        # the numpy void-key pipeline materializes ~1 GB of temporaries, which
+        # first-touch page faults make the hottest phase of train on these VMs
+        lib = _load_tok_lib()
+        idx = np.ascontiguousarray(idx, np.int64)
+        if lib is not None and len(idx):
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            order = np.zeros(len(idx), np.int64)
+            offs64 = np.ascontiguousarray(offs, np.int64)
+            lib.tok_sort_order(
+                blob, offs64.ctypes.data_as(i64p), idx.ctypes.data_as(i64p),
+                len(idx), order.ctypes.data_as(i64p),
+            )
+        else:
+            order = np.argsort(_void_keys(blob, offs, idx))
         idx = idx[order]
         dfs = df[idx].astype(np.float64)
         if params.use_idf:
@@ -301,13 +338,15 @@ class _TfidfBase:
             idf = np.ones(len(idx))
         obj = cls(params, None, idf.astype(np.float32))
         # repack selected tokens in column order
-        lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+        lens = offs[idx + 1] - offs[idx]
         new_offs = np.zeros(len(idx) + 1, np.int64)
         new_offs[1:] = np.cumsum(lens)
         src = np.frombuffer(blob, np.uint8)
         if len(idx):
-            within = np.arange(lens.sum()) - np.repeat(np.cumsum(lens) - lens, lens)
-            pos = np.repeat(offs[idx], lens) + within
+            rows = _flat_rows(lens)
+            pos = np.arange(int(lens.sum()), dtype=np.int64)
+            pos -= new_offs[:-1][rows]
+            pos += offs[idx][rows]
             packed = src[pos].tobytes()
         else:
             packed = b""
@@ -350,11 +389,11 @@ class _TfidfBase:
             res = _native_count(
                 corpus, params.analyzer, lo, hi, params.truncate_length, want_strings=True
             )
-            doc_indptr, hashes, counts, (blob, soffs, shash) = res
-            uh, df = np.unique(hashes, return_counts=True)
-            if len(uh) == len(shash):  # no 64-bit collisions: fast path valid
-                df_of_token = df[np.searchsorted(uh, shash)]
-                return cls._from_native_vocab(params, blob, soffs, shash, df_of_token, n_doc)
+            # the C++ counter tracks per-token document frequency inline
+            # (64-bit FNV collisions, odds ~V^2/2^64, would merge two tokens'
+            # counts — same exposure as the reference's hashed vocab build)
+            doc_indptr, hashes, counts, (blob, soffs, shash, sdfs) = res
+            return cls._from_native_vocab(params, blob, soffs, shash, sdfs, n_doc)
         # pure-Python fallback (no native toolchain, or a hash collision)
         df_ctr = Counter()
         for text in corpus:
@@ -405,7 +444,7 @@ class _TfidfBase:
         acc_str_h: list = []  # hash arrays aligned with stored strings
         for chunk in chunks():
             n_doc += len(chunk)
-            _, hashes, _, (blob, soffs, shash) = _native_count(
+            _, hashes, _, (blob, soffs, shash, _sdfs) = _native_count(
                 chunk, params.analyzer, lo, hi, params.truncate_length, want_strings=True
             )
             uh, df = np.unique(hashes, return_counts=True)
@@ -466,6 +505,42 @@ class _TfidfBase:
             self._col_sorted = np.fromiter(self.vocab.values(), np.int64, len(self.vocab))[order]
         return self._hash_sorted, self._col_sorted
 
+    def _lookup_cols(self, hashes: np.ndarray) -> np.ndarray:
+        """hash -> column id (-1 when absent), via the C++ open-addressing
+        table (one probe beats a 22-step binary search per n-gram; the table
+        is built once per model and cached)."""
+        hs, cs = self._hash_lookup_tables()
+        lib = _load_tok_lib()
+        if lib is None or not len(hs):
+            if not len(hs):
+                return np.full(len(hashes), -1, np.int64)
+            pos = np.minimum(np.searchsorted(hs, hashes), len(hs) - 1)
+            return np.where(hs[pos] == hashes, cs[pos], -1)
+        handle = getattr(self, "_lookup_handle", None)
+        if handle is None:
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            hs = np.ascontiguousarray(hs, np.uint64)
+            raw = lib.tok_lookup_build(hs.ctypes.data_as(u64p), len(hs))
+            handle = self._lookup_handle = ctypes.c_void_p(raw)
+            # keep table order alive for value translation
+            self._lookup_cols_arr = np.ascontiguousarray(cs, np.int64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        q = np.ascontiguousarray(hashes, np.uint64)
+        out = np.zeros(len(q), np.int64)
+        lib.tok_lookup(handle, q.ctypes.data_as(u64p), len(q), out.ctypes.data_as(i64p))
+        found = out >= 0
+        out[found] = self._lookup_cols_arr[out[found]]
+        return out
+
+    def __del__(self):
+        handle = getattr(self, "_lookup_handle", None)
+        if handle is not None and _tok_lib is not None:
+            try:
+                _tok_lib.tok_lookup_free(handle)
+            except Exception:
+                pass
+
     def predict(self, corpus: Sequence[str]) -> smat.csr_matrix:
         p = self.params
         lo, hi = p.ngram_range
@@ -473,16 +548,11 @@ class _TfidfBase:
             doc_indptr, hashes, counts = _native_count(
                 corpus, p.analyzer, lo, hi, p.truncate_length, want_strings=False
             )
-            hs, cs = self._hash_lookup_tables()
-            if len(hs):
-                pos = np.minimum(np.searchsorted(hs, hashes), len(hs) - 1)
-                valid = hs[pos] == hashes
-            else:
-                pos = np.zeros(len(hashes), np.int64)
-                valid = np.zeros(len(hashes), bool)
-            cols = cs[pos[valid]] if len(hs) else np.zeros(0, np.int64)
+            mapped = self._lookup_cols(hashes)
+            valid = mapped >= 0
+            cols = mapped[valid]
             tf = counts[valid].astype(np.float32)
-            rows = np.repeat(np.arange(len(corpus)), np.diff(doc_indptr))[valid]
+            rows = _flat_rows(np.diff(doc_indptr))[valid]
             if p.binary:
                 tf = np.ones_like(tf)
             elif p.sublinear_tf:
