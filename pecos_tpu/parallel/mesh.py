@@ -84,3 +84,138 @@ def shard_chain_predict(mesh: Mesh, compiled, X: np.ndarray, **kwargs):
     pps = tuple([kwargs.get("post_processor", "l3-hinge")] * compiled.depth)
     fn = jax.jit(lambda X_, layers: chain_predict(X_, layers, beam, topk, pps))
     return fn(Xd, compiled.layers)
+
+
+def _pad_layer_labels(layer, lp: int):
+    """Pad a DeviceLayer's label dimension to a multiple of lp so the weight
+    arrays divide evenly over the label-parallel axis.  The children table is
+    untouched (it only ever names real labels), so padded labels are never
+    candidates and contribute nothing."""
+    from pecos_tpu.xmc.inference import DeviceLayer
+
+    L = layer.nr_labels
+    Lp = -(-L // lp) * lp
+    pad = Lp - L
+    if layer.kind == "dense":
+        if pad == 0:
+            return DeviceLayer("dense", L, layer.children, W=layer.W)
+        W = jnp.pad(layer.W, ((0, 0), (0, pad)))
+        return DeviceLayer("dense", L, layer.children, W=W)
+    # normalize plabel to packed-only so the leaf structure is fixed
+    packed = layer.packed
+    if packed is None:
+        packed = jnp.concatenate(
+            [layer.feat_ids, jax.lax.bitcast_convert_type(layer.feat_vals, jnp.int32)],
+            axis=1,
+        )
+    if pad:
+        packed = jnp.pad(packed, ((0, pad), (0, 0)))
+    return DeviceLayer("plabel", L, layer.children, packed=packed)
+
+
+def shard_chain_predict_labels(
+    mesh: Mesh,
+    compiled,
+    X: np.ndarray,
+    *,
+    beam_size: int = 10,
+    only_topk: int = 20,
+    post_processor: str = "l3-hinge",
+):
+    """Label-sharded (model-parallel) beam-search predict.
+
+    The TPU analog of the reference's sub-tree model parallelism
+    (pecos/distributed/xmc/xlinear/model.py:259-617): every layer's weights
+    are sharded over the ``lp`` mesh axis by label block — ``W`` as
+    ``P(None, "lp")`` for dense layers, padded-label rows as ``P("lp", None)``
+    for plabel layers — so each device holds only ``1/lp`` of the model and a
+    chain too big for one chip's HBM fits the mesh.  Queries shard over
+    ``dp`` and replicate over ``lp``.
+
+    Per level, each device scores the beam candidates whose labels fall in
+    its block (everything else is -inf) and a single ``lax.pmax`` over
+    ``lp`` — the beam-score all-gather, riding ICI — reassembles the full
+    candidate scores; top-k then runs replicated on every device.  The
+    per-level collective moves only (batch, beam*max_children) floats, never
+    weights.
+    """
+    from pecos_tpu.xmc.inference import NEG_INF, prepare_queries
+    from pecos_tpu.xmc.postprocessor import PostProcessor
+
+    lp = mesh.shape["lp"]
+    dp = mesh.shape["dp"]
+    depth = compiled.depth
+    pp_names = (
+        tuple([post_processor] * depth)
+        if isinstance(post_processor, str)
+        else tuple(post_processor)
+    )
+    layers = [_pad_layer_labels(l, lp) for l in compiled.layers]
+    leaves, treedef = jax.tree_util.tree_flatten(layers)
+    specs = []
+    for layer in layers:
+        specs.append(P(None, None))  # children: replicated
+        if layer.kind == "dense":
+            specs.append(P(None, "lp"))  # W columns = labels
+        else:
+            specs.append(P("lp", None))  # packed rows = labels
+    assert len(specs) == len(leaves)
+
+    Xd = prepare_queries(X, compiled.bias)
+    if Xd.shape[0] % dp:
+        raise ValueError(f"batch {Xd.shape[0]} not divisible by dp={dp}")
+
+    def local_chain(Xq, *leaves):
+        layers = jax.tree_util.tree_unflatten(treedef, leaves)
+        N = Xq.shape[0]
+        lp_idx = jax.lax.axis_index("lp")
+        n_roots = layers[0].children.shape[0]
+        parents = jnp.tile(jnp.arange(n_roots, dtype=jnp.int32), (N, 1))
+        pvals = jnp.full(
+            (N, n_roots), PostProcessor.get(pp_names[0]).init_value, jnp.float32
+        )
+        for d, layer in enumerate(layers):
+            pp = PostProcessor.get(pp_names[d])
+            maxc = layer.max_children
+            B = parents.shape[1]
+            safe_parents = jnp.clip(parents, 0, layer.children.shape[0] - 1)
+            cand = layer.children[safe_parents].reshape(N, B * maxc)
+            valid = (cand >= 0) & (parents >= 0).repeat(maxc, axis=1)
+            # ownership: device b holds labels [b*Lb, (b+1)*Lb)
+            Lb = layer.W.shape[1] if layer.kind == "dense" else layer.packed.shape[0]
+            offset = lp_idx * Lb
+            local = cand - offset
+            own = (local >= 0) & (local < Lb)
+            safe = jnp.clip(local, 0, Lb - 1)
+            if layer.kind == "dense":
+                scores_all = jnp.dot(Xq, layer.W, preferred_element_type=jnp.float32)
+                raw = jnp.take_along_axis(scores_all, safe, axis=1)
+            else:
+                Pcap = layer.packed.shape[1] // 2
+                w = layer.packed[safe]  # (N, K, 2P)
+                ids = w[..., :Pcap]
+                vals = jax.lax.bitcast_convert_type(w[..., Pcap:], jnp.float32)
+                xg = jnp.take_along_axis(Xq[:, None, :], ids, axis=2)
+                raw = jnp.sum(xg * vals, axis=-1)
+            raw = jax.lax.pmax(jnp.where(own, raw, NEG_INF), "lp")
+            val = pp.transform_jnp(raw)
+            if d > 0:
+                val = pp.combiner_jnp(val, pvals.repeat(maxc, axis=1))
+            val = jnp.where(valid, val, NEG_INF)
+            k = min(only_topk if d == depth - 1 else beam_size, B * maxc)
+            topv, topi = jax.lax.top_k(val, k)
+            parents = jnp.take_along_axis(cand, topi, axis=1)
+            parents = jnp.where(topv > NEG_INF * 0.5, parents, -1)
+            pvals = topv
+        return parents, pvals
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_chain,
+            mesh=mesh,
+            in_specs=tuple([P("dp", None)] + specs),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+    )
+    return fn(jnp.asarray(Xd), *leaves)
