@@ -165,6 +165,8 @@ def score_candidates_dense_sparse(
     qvals: jax.Array,  # (N, Qn) float32
     layer: DeviceLayer,
     cand: jax.Array,  # (N, K)
+    bias_id: Optional[int] = None,
+    bias_val: float = 0.0,
 ) -> jax.Array:
     """Dense-layout layer scored directly from sparse queries.
 
@@ -180,6 +182,10 @@ def score_candidates_dense_sparse(
     scores_all = jnp.einsum(
         "bql,bq->bl", Wg, qvals, preferred_element_type=jnp.float32
     )
+    if bias_id is not None:
+        # bias feature handled out-of-band: one W-row broadcast instead of
+        # widening every query with a padded bias block
+        scores_all = scores_all + bias_val * W[bias_id]
     return jnp.take_along_axis(scores_all, cand, axis=1)
 
 
@@ -207,6 +213,8 @@ def score_candidates_sparse(
     layer: DeviceLayer,
     cand: jax.Array,  # (N, K) int32
     chunk: int = 8,
+    bias_id: Optional[int] = None,
+    bias_val: float = 0.0,
 ) -> jax.Array:
     """Sparse-query x sparse-weight candidate scoring with NO dense gathers.
 
@@ -245,7 +253,15 @@ def score_candidates_sparse(
         wi_b, wv_b = blk  # (N, chunk, P)
         m = qids[:, None, None, :] == wi_b[:, :, :, None]  # (N, chunk, P, Qn)
         g = jnp.sum(jnp.where(m, qvals[:, None, None, :], 0.0), axis=-1)
-        return carry, jnp.sum(g * wv_b, axis=-1)  # (N, chunk)
+        s = jnp.sum(g * wv_b, axis=-1)  # (N, chunk)
+        if bias_id is not None:
+            # the bias feature is a single known id: one compare over P
+            # instead of widening Qn by a 128-wide padded bias block (that
+            # block used to cost ~1/3 of the whole intersection)
+            s = s + bias_val * jnp.sum(
+                jnp.where(wi_b == bias_id, wv_b, 0.0), axis=-1
+            )
+        return carry, s
 
     _, out = jax.lax.scan(step, 0.0, (wi_r, wv_r))  # (Kp//chunk, N, chunk)
     out = out.swapaxes(0, 1).reshape(N, Kp)
@@ -262,6 +278,8 @@ def beam_step(
     no_prev: bool,
     qids: Optional[jax.Array] = None,
     qvals: Optional[jax.Array] = None,
+    bias_id: Optional[int] = None,
+    bias_val: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Expand parents through one layer; returns (labels (N,k), values (N,k))."""
     N, B = parents.shape
@@ -271,9 +289,13 @@ def beam_step(
     valid = (cand >= 0) & (parents >= 0).repeat(maxc, axis=1)
     cand_safe = jnp.clip(cand, 0, layer.nr_labels - 1)
     if layer.kind == "plabel" and qids is not None:
-        raw = score_candidates_sparse(qids, qvals, layer, cand_safe)
+        raw = score_candidates_sparse(
+            qids, qvals, layer, cand_safe, bias_id=bias_id, bias_val=bias_val
+        )
     elif layer.kind == "dense" and X is None:
-        raw = score_candidates_dense_sparse(qids, qvals, layer, cand_safe)
+        raw = score_candidates_dense_sparse(
+            qids, qvals, layer, cand_safe, bias_id=bias_id, bias_val=bias_val
+        )
     else:
         raw = score_candidates(X, layer, cand_safe)
     val = pp.transform_jnp(raw)
@@ -295,12 +317,16 @@ def chain_predict(
     pp_names: Tuple[str, ...],
     qids: Optional[jax.Array] = None,
     qvals: Optional[jax.Array] = None,
+    bias_id: Optional[int] = None,
+    bias_val: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full-chain beam search.  Returns (labels (N, k), values (N, k)).
 
     X is the dense (N, D+1) query block used by dense layers; (qids, qvals)
     is the padded sparse form used by plabel layers (gather-free scoring).
-    Either may be None when no layer of that kind exists.
+    Either may be None when no layer of that kind exists.  ``bias_id``
+    (the bias feature's column) lets sparse scoring add the bias term
+    without a padded bias block widening every query row.
     """
     N = X.shape[0] if X is not None else qids.shape[0]
     depth = len(layers)
@@ -313,7 +339,8 @@ def chain_predict(
         pp = PostProcessor.get(pp_names[d])
         k = only_topk if d == depth - 1 else beam_size
         parents, pvals = beam_step(
-            X, layer, parents, pvals, k, pp, no_prev=(d == 0), qids=qids, qvals=qvals
+            X, layer, parents, pvals, k, pp, no_prev=(d == 0),
+            qids=qids, qvals=qvals, bias_id=bias_id, bias_val=bias_val,
         )
     return parents, pvals
 
@@ -471,36 +498,29 @@ class CompiledHierModel:
             # small D the scatter is cheap and the matmul path keeps scoring
             # bit-identical to the streaming/mmap predictor.  A dense layer
             # too wide for the gather intermediate also forces the scatter.
-            qn = cap + 128  # bias block appended below
             has_dense = any(l.kind == "dense" for l in self.layers) and (
                 batch * (D + 2) <= (1 << 26)
                 or any(
-                    l.kind == "dense" and batch * qn * l.nr_labels > (1 << 28)
+                    l.kind == "dense" and batch * cap * l.nr_labels > (1 << 28)
                     for l in self.layers
                 )
             )
             has_plabel = any(l.kind == "plabel" for l in self.layers)
+            use_sparse_q = has_plabel or not has_dense
+            # the bias feature is a single known column: sparse scorers add
+            # it with one compare per weight row (bias_id) instead of a
+            # 128-wide padded bias block widening every query (that block
+            # used to be ~1/3 of the whole intersection's VPU work)
+            bias_id = D if bias > 0 else None
 
             @jax.jit
             def fn(ids, vals, layers):
                 # densify only when a too-wide dense layer needs it
                 X = scatter_queries(ids, vals, D, bias) if has_dense else None
-                if has_plabel or not has_dense:
-                    # append the bias feature in a 128-wide padded block so the
-                    # query capacity stays lane-aligned (cap+1 would be ragged);
-                    # also needed by the dense-from-sparse scorer (X is None)
-                    B = ids.shape[0]
-                    if bias > 0:
-                        extra_i = jnp.full((B, 128), D + 1, jnp.int32).at[:, 0].set(D)
-                        extra_v = jnp.zeros((B, 128), jnp.float32).at[:, 0].set(bias)
-                        qi = jnp.concatenate([ids, extra_i], axis=1)
-                        qv = jnp.concatenate([vals, extra_v], axis=1)
-                    else:
-                        qi, qv = ids, vals
-                else:
-                    qi = qv = None
+                qi, qv = (ids, vals) if use_sparse_q else (None, None)
                 return chain_predict(
-                    X, layers, beam_size, only_topk, pp_names, qids=qi, qvals=qv
+                    X, layers, beam_size, only_topk, pp_names,
+                    qids=qi, qvals=qv, bias_id=bias_id, bias_val=bias,
                 )
 
             self._cache[key] = fn
@@ -534,45 +554,47 @@ class CompiledHierModel:
         N = X.shape[0]
         batch = min(batch_size, max(1, 1 << max(N - 1, 0).bit_length()))
         sparse_input = smat.issparse(X)
+        nb = -(-N // batch) if N else 0
+        tail = nb * batch - N
+        # transfer strategy: per-batch host->device upload immediately before
+        # each dispatch (the enqueued upload of batch i+1 overlaps the device
+        # compute of batch i), and ONE stacked fetch at the end.  Measured on
+        # the tunneled v5e at the Wiki-500K geometry (8x1024 queries):
+        # per-batch fetches 7.7K QPS, one bulk upload + one fetch 12.2K,
+        # per-batch uploads + one fetch 18.4K — fetches serialize the stream,
+        # uploads pipeline.
         if sparse_input:
             ids_all, vals_all = prepare_queries_padded(X)
             cap = ids_all.shape[1]
             fn = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
+            if tail:
+                ids_all = np.vstack(
+                    [ids_all, np.full((tail, cap), self.nr_features + 1, np.int32)]
+                )
+                vals_all = np.vstack([vals_all, np.zeros((tail, cap), np.float32)])
+            ids_r = ids_all.reshape(nb, batch, cap)
+            vals_r = vals_all.reshape(nb, batch, cap)
+            pending = [
+                fn(jnp.asarray(ids_r[i]), jnp.asarray(vals_r[i]), self.layers)
+                for i in range(nb)
+            ]
         else:
             Xd = prepare_queries(X, self.bias)
             fn = self._predictor(beam_size, only_topk, pp_names, batch)
-        # two-phase pipeline: dispatch every batch asynchronously, then fetch.
-        # Device dispatch is async, so compute/transfer of batch i overlaps the
-        # host padding work and round-trip latency of batch i+1.
-        pending = []
-        for s in range(0, N, batch):
-            if sparse_input:
-                ib = ids_all[s : s + batch]
-                vb = vals_all[s : s + batch]
-                pad = batch - ib.shape[0]
-                if pad:
-                    ib = np.vstack(
-                        [ib, np.full((pad, ib.shape[1]), self.nr_features + 1, np.int32)]
-                    )
-                    vb = np.vstack([vb, np.zeros((pad, vb.shape[1]), np.float32)])
-                labels, vals = fn(jnp.asarray(ib), jnp.asarray(vb), self.layers)
-            else:
-                xb = Xd[s : s + batch]
-                pad = batch - xb.shape[0]
-                if pad:
-                    xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
-                labels, vals = fn(jnp.asarray(xb), self.layers)
-            pending.append((labels, vals, pad))
-        out_idx, out_val = [], []
-        for labels, vals, pad in pending:
-            labels = np.asarray(jax.device_get(labels))
-            vals = np.asarray(jax.device_get(vals))
-            if pad:
-                labels, vals = labels[:-pad], vals[:-pad]
-            out_idx.append(labels)
-            out_val.append(vals)
-        labels = np.concatenate(out_idx) if out_idx else np.zeros((0, only_topk), np.int64)
-        vals = np.concatenate(out_val) if out_val else np.zeros((0, only_topk), np.float32)
+            if tail:
+                Xd = np.vstack([Xd, np.zeros((tail, Xd.shape[1]), np.float32)])
+            X_r = Xd.reshape(nb, batch, Xd.shape[1])
+            pending = [fn(jnp.asarray(X_r[i]), self.layers) for i in range(nb)]
+        if pending:
+            stacked = jnp.concatenate([l for l, _ in pending]), jnp.concatenate(
+                [v for _, v in pending]
+            )
+            labels, vals = (np.asarray(a) for a in jax.device_get(stacked))
+            if tail:
+                labels, vals = labels[:-tail], vals[:-tail]
+        else:
+            labels = np.zeros((0, only_topk), np.int64)
+            vals = np.zeros((0, only_topk), np.float32)
         return smat_util.csr_from_topk_arrays(labels, vals, self.nr_labels)
 
 
