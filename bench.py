@@ -52,6 +52,8 @@ def build_synthetic_model(L=2**19, D=2**18, nnz_per_label=64, nr_splits=16, seed
             W = rng.standard_normal((Db, n_labels)).astype(np.float32) * 0.05
             layers.append(DeviceLayer("dense", n_labels, jnp.asarray(children), W=jnp.asarray(W)))
         else:
+            from pecos_tpu.xmc.inference import build_parent_packed
+
             ids = rng.integers(0, Db, size=(n_labels, nnz_per_label), dtype=np.int32)
             vals = (rng.standard_normal((n_labels, nnz_per_label)) * 0.05).astype(np.float32)
             packed = np.concatenate([ids, vals.view(np.int32)], axis=1)
@@ -61,6 +63,7 @@ def build_synthetic_model(L=2**19, D=2**18, nnz_per_label=64, nr_splits=16, seed
                     n_labels,
                     jnp.asarray(children),
                     packed=jnp.asarray(packed),
+                    parent_packed=jnp.asarray(build_parent_packed(packed, children)),
                 )
             )
         n_parents = n_labels

@@ -103,7 +103,64 @@ def gen(data_dir, n=100_000, nq=2_000, d=500_000, seed=0):
     print(f"generated: X={X.shape} nnz/row={X.nnz/n:.1f} queries={Q.shape}")
 
 
-def tie_recall(ids, X, Q, gt_d):
+def gen_smooth(data_dir, n=100_000, nq=2_000, d=500_000, seed=0):
+    """Smooth-manifold sparse corpus: doc i sits at position p_i on a feature
+    ring and samples its nonzeros from a contiguous window around p_i, so
+    similarity decays gradually with |p_i - p_j| — graded neighborhoods with
+    no hard cluster walls.  This is the geometry HNSW's greedy descent is
+    built for — a second corpus with a qualitatively different neighbor
+    structure from gen()'s clustered one, so matched-recall comparisons
+    don't hinge on a single geometry."""
+    rng = np.random.default_rng(seed)
+    pos = rng.integers(0, d, size=n)
+    rows_i, cols, vals = [], [], []
+    # multi-scale windows: narrow (strong weights) + mid + wide (weak) give a
+    # similarity gradient at every distance scale, the friendliest possible
+    # geometry for greedy graph descent (a single-scale window has zero
+    # gradient beyond its width and defeats any incrementally-built graph)
+    for i in range(n):
+        f1 = (pos[i] + rng.integers(0, 2048, size=32)) % d
+        f2 = (pos[i] + rng.integers(0, 32768, size=20)) % d
+        f3 = (pos[i] + rng.integers(0, 262144, size=12)) % d
+        f = np.concatenate([f1, f2, f3])
+        v = np.concatenate(
+            [1.2 + 0.4 * rng.random(32), 0.6 + 0.3 * rng.random(20),
+             0.3 + 0.2 * rng.random(12)]
+        ).astype(np.float32)
+        f, inv = np.unique(f, return_index=True)
+        rows_i.append(np.full(len(f), i))
+        cols.append(f)
+        vals.append(v[inv].astype(np.float32))
+    X = smat.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows_i), np.concatenate(cols))),
+        shape=(n, d), dtype=np.float32,
+    )
+    norms = np.sqrt(np.asarray(X.multiply(X).sum(axis=1))).ravel()
+    X = smat.diags(1.0 / np.maximum(norms, 1e-12)).dot(X).tocsr().astype(np.float32)
+    Q = X[rng.choice(n, size=nq, replace=False)].copy()
+    os.makedirs(data_dir, exist_ok=True)
+    smat.save_npz(os.path.join(data_dir, "sparse2_base.npz"), X)
+    smat.save_npz(os.path.join(data_dir, "sparse2_queries.npz"), Q)
+    k = 10
+    gt_i = np.zeros((nq, k), np.int64)
+    gt_d = np.zeros((nq, k), np.float64)
+    for s in range(0, nq, 256):
+        sims = np.asarray((Q[s : s + 256] @ X.T).todense(), np.float64)
+        dist = 1.0 - sims
+        idx = np.argpartition(dist, k, axis=1)[:, :k]
+        dd = np.take_along_axis(dist, idx, axis=1)
+        o = np.argsort(dd, axis=1)
+        gt_i[s : s + 256] = np.take_along_axis(idx, o, axis=1)
+        gt_d[s : s + 256] = np.take_along_axis(dd, o, axis=1)
+    np.save(os.path.join(data_dir, "sparse2_gt_i.npy"), gt_i)
+    np.save(os.path.join(data_dir, "sparse2_gt_d.npy"), gt_d)
+    print(f"generated smooth: X={X.shape} nnz/row={X.nnz/n:.1f} queries={Q.shape}")
+
+
+def tie_recall(ids, X, Q, gt_d, metric="ip"):
+    """gt_d is stored as ip distance (1 - sim); for l2 on unit-normalized rows
+    the ranking is identical (d2 = 2 - 2 sim), so the same ground truth serves
+    both metrics — only the threshold transform differs."""
     k = gt_d.shape[1]
     thr = gt_d[:, k - 1] * (1 + 1e-4) + 1e-6
     sims = np.zeros(ids.shape, np.float64)
@@ -121,21 +178,38 @@ def main():
     ap.add_argument("--data", default="/tmp/annbench")
     ap.add_argument("--out", default="/tmp/annbench")
     ap.add_argument("--gen", action="store_true")
+    ap.add_argument("--gen2", action="store_true", help="generate the smooth-manifold corpus")
+    ap.add_argument("--corpus", default="clustered", choices=["clustered", "smooth"])
     ap.add_argument("--ref", action="store_true")
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--M", type=int, default=32)
     ap.add_argument("--efC", type=int, default=100)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--efS", type=int, nargs="*", default=[25, 50, 100, 200])
+    ap.add_argument(
+        "--metric", default="ip", choices=["ip", "l2"],
+        help="l2 gives the reference a true-metric operating regime (rows are "
+             "l2-normalized, so the ip and l2 rankings and ground truth coincide)")
     args = ap.parse_args()
 
     if args.gen:
         gen(args.data)
         return
+    if args.gen2:
+        gen_smooth(args.data)
+        return
 
-    X = smat.load_npz(os.path.join(args.data, "sparse_base.npz")).tocsr()
-    Q = smat.load_npz(os.path.join(args.data, "sparse_queries.npz")).tocsr()
-    gt_d = np.load(os.path.join(args.data, "sparse_gt_d.npy"))
+    stem = "sparse" if args.corpus == "clustered" else "sparse2"
+    X = smat.load_npz(os.path.join(args.data, f"{stem}_base.npz")).tocsr()
+    Q = smat.load_npz(os.path.join(args.data, f"{stem}_queries.npz")).tocsr()
+    # canonicalize: the reference's sparse distance kernels intersect rows via
+    # binary search (feat_vectors.hpp:288-308 lower_bound) and silently return
+    # garbage on unsorted indices — round-2's recorded reference recalls
+    # (0.36-capped) were this artifact, not an engine property.  Sort for both
+    # engines so the comparison is on canonical CSR.
+    X.sort_indices()
+    Q.sort_indices()
+    gt_d = np.load(os.path.join(args.data, f"{stem}_gt_d.npy"))
     k = gt_d.shape[1]
 
     if args.ref:
@@ -146,7 +220,7 @@ def main():
         model = RefHNSW.train(
             X,
             train_params=RefHNSW.TrainParams(
-                M=args.M, efC=args.efC, metric_type="ip", threads=1
+                M=args.M, efC=args.efC, metric_type=args.metric, threads=1
             ),
         )
         build_s = time.time() - t0
@@ -166,18 +240,22 @@ def main():
             sweep.append({"efS": efS, "recall_at_10": r, "qps": best})
             print(f"ref efS={efS}: recall@10={r:.4f} qps={best:.0f}", flush=True)
         out = {"engine": "reference-cpp-sparse", "n": X.shape[0], "d": X.shape[1],
-               "M": args.M, "efC": args.efC, "threads": 1,
+               "M": args.M, "efC": args.efC, "threads": 1, "metric": args.metric,
                "build_seconds": build_s, "sweep": sweep}
-        with open(os.path.join(args.out, "sparse_hnsw_ref.json"), "w") as f:
+        suffix = "" if args.metric == "ip" else f"_{args.metric}"
+        if args.corpus == "smooth":
+            suffix = "_smooth" + suffix
+        out["corpus"] = args.corpus
+        with open(os.path.join(args.out, f"sparse_hnsw_ref{suffix}.json"), "w") as f:
             json.dump(out, f, indent=1)
-        print("wrote sparse_hnsw_ref.json")
+        print(f"wrote sparse_hnsw_ref{suffix}.json")
 
     if args.tpu:
         from pecos_tpu.ann.hnsw import HNSW
 
         t0 = time.time()
         model = HNSW.train(
-            X, M=args.M, efC=args.efC, metric_type="ip", data_type="csr"
+            X, M=args.M, efC=args.efC, metric_type=args.metric, data_type="csr"
         )
         build_s = time.time() - t0
         print(f"tpu sparse build: {build_s:.1f}s", flush=True)
@@ -194,11 +272,15 @@ def main():
             sweep.append({"efS": efS, "recall_at_10": r, "qps": best})
             print(f"tpu efS={efS}: recall@10={r:.4f} qps={best:.0f}", flush=True)
         out = {"engine": "pecos_tpu-sparse", "n": X.shape[0], "d": X.shape[1],
-               "M": args.M, "efC": args.efC,
+               "M": args.M, "efC": args.efC, "metric": args.metric,
                "build_seconds": build_s, "sweep": sweep}
-        with open(os.path.join(args.out, "sparse_hnsw_tpu.json"), "w") as f:
+        suffix = "" if args.metric == "ip" else f"_{args.metric}"
+        if args.corpus == "smooth":
+            suffix = "_smooth" + suffix
+        out["corpus"] = args.corpus
+        with open(os.path.join(args.out, f"sparse_hnsw_tpu{suffix}.json"), "w") as f:
             json.dump(out, f, indent=1)
-        print("wrote sparse_hnsw_tpu.json")
+        print(f"wrote sparse_hnsw_tpu{suffix}.json")
 
 
 if __name__ == "__main__":
