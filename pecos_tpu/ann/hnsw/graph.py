@@ -469,6 +469,56 @@ def batch_greedy_descent(
     return cur
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "n_levels", "max_steps"))
+def batch_greedy_descent_stack(
+    feats,
+    upper_stack: jax.Array,  # (L, N, maxM) adjacency of levels L..1 (index l-1)
+    Q: jax.Array,  # (B, D)
+    entry: jax.Array,  # (B,) int32
+    *,
+    metric: str,
+    n_levels: int,  # descend levels max_level .. max_level-n_levels+1
+    max_steps: int,
+) -> jax.Array:
+    """Greedy descent through several upper levels fused into ONE dispatch.
+
+    The per-level walk is identical to batch_greedy_descent; levels are
+    visited top-down with a fori over the stacked adjacency, so an insertion
+    search pays one tunnel round trip for the whole descent instead of one
+    per level (hnsw.hpp:927-944 runs this as a nested CPU loop)."""
+    B = Q.shape[0]
+    L = upper_stack.shape[0]
+
+    def level_body(i, cur):
+        neighbors = jax.lax.dynamic_index_in_dim(
+            upper_stack, L - 1 - i, axis=0, keepdims=False
+        )
+
+        def cond(state):
+            c, cd, improved, steps = state
+            return jnp.logical_and(steps < max_steps, jnp.any(improved))
+
+        def body(state):
+            c, cd, improved, steps = state
+            nbrs = neighbors[jnp.clip(c, 0, neighbors.shape[0] - 1)]
+            nd = jnp.where(nbrs >= 0, gather_dist(Q, feats, nbrs, metric), INF)
+            best = jnp.argmin(nd, axis=1)
+            best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+            best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
+            take = jnp.logical_and(improved, best_d < cd)
+            c = jnp.where(take, best_id, c)
+            cd = jnp.where(take, best_d, cd)
+            return c, cd, take, steps + 1
+
+        cd0 = gather_dist(Q, feats, cur[:, None], metric)[:, 0]
+        cur, _, _, _ = jax.lax.while_loop(
+            cond, body, (cur, cd0, jnp.ones((B,), bool), jnp.int32(0))
+        )
+        return cur
+
+    return jax.lax.fori_loop(0, n_levels, level_body, entry)
+
+
 @functools.partial(jax.jit, static_argnames=("M",))
 def batch_select_neighbors(
     cand_ids: jax.Array,  # (B, E) candidate ids sorted by distance asc (-1 pad)

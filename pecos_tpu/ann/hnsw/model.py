@@ -226,14 +226,21 @@ class HNSW(pecos_tpu.BaseClass):
             min(65536, max(4096, (1 << 28) // max(1, (maxM0 + K_PAD) * row_width)))
         )
 
-        def search_batch(q_idx: np.ndarray, entry_: int, ef: int, at_level: int = 0):
+        def search_batch(
+            q_idx: np.ndarray, entry_: int, ef: int, at_level: int = 0,
+            Bq: Optional[int] = None,
+        ):
             """Search the current graph AT a given level for q_idx (padded to
-            B); descends greedily through the levels above it first, exactly
-            like the reference's per-level insertion search (hnsw.hpp:721-746).
-            Returns (B, ef) ids/dists."""
-            pad = np.zeros(B - len(q_idx), np.int64)
+            Bq, default B); descends greedily through the levels above it
+            first, exactly like the reference's per-level insertion search
+            (hnsw.hpp:721-746).  Upper-level insertions carry ~B/M real
+            queries, so callers pass a pow2-bucketed Bq — search cost scales
+            with the padded width, and a 2048-wide search for 64 points is
+            30x wasted work.  Returns (Bq, ef) ids/dists."""
+            Bq = B if Bq is None else Bq
+            pad = np.zeros(Bq - len(q_idx), np.int64)
             Q = feats_d[jnp.asarray(np.concatenate([q_idx, pad]))]
-            cur = jnp.full((B,), entry_, jnp.int32)
+            cur = jnp.full((Bq,), entry_, jnp.int32)
             for l in range(max_level, at_level, -1):
                 g = DeviceGraph(feats_d, dev_up[l - 1], metric)
                 cur = batch_greedy_descent(g, Q, cur, max_steps=64)
@@ -243,6 +250,9 @@ class HNSW(pecos_tpu.BaseClass):
                 g, Q, cur[:, None], ef=ef, max_steps=4 * ef, expand=params.build_expand
             )
 
+        def bucket_pow2(n: int, lo: int, hi: int) -> int:
+            return int(min(hi, max(lo, 1 << (max(n, 1) - 1).bit_length())))
+
         def apply_reverse(arr, dst: np.ndarray, src: np.ndarray, use_alg4: bool):
             """Merge src->dst reverse edges into adjacency arr (device)."""
             prune = scatter_prune_rows_alg4 if use_alg4 else scatter_prune_rows
@@ -251,8 +261,12 @@ class HNSW(pecos_tpu.BaseClass):
                 for a0 in range(0, len(rows), A_CHUNK):
                     r = rows[a0 : a0 + A_CHUNK]
                     c = cands[a0 : a0 + A_CHUNK]
-                    a_pad = A_CHUNK - len(r)
-                    if a_pad:
+                    # pow2-bucketed pad: late edge groups are tiny (tens of
+                    # rows) and a full-A_CHUNK pad would gather 100x the
+                    # features the group needs
+                    a_sz = min(A_CHUNK, max(1024, 1 << (len(r) - 1).bit_length()))
+                    a_pad = a_sz - len(r)
+                    if a_pad > 0:
                         r = np.concatenate([r, np.full(a_pad, Nn, np.int32)])
                         c = np.concatenate([c, np.full((a_pad, K_PAD), -1, np.int32)])
                     arr = prune(arr, feats_d, jnp.asarray(r), jnp.asarray(c), metric=metric)
@@ -294,13 +308,14 @@ class HNSW(pecos_tpu.BaseClass):
                 pts = batch[levels[batch] >= l]
                 if len(pts) == 0:
                     continue
-                ids_l, dists_l = search_batch(pts, entry, efC, at_level=l)
+                B_up = bucket_pow2(len(pts), 32, B)
+                ids_l, dists_l = search_batch(pts, entry, efC, at_level=l, Bq=B_up)
                 sel_l = np.asarray(
                     batch_select_from_search(feats_d, ids_l, dists_l, M=M, metric=metric)
                 )[: len(pts)]
-                rows = np.full(B, N, np.int64)
+                rows = np.full(B_up, N, np.int64)
                 rows[: len(pts)] = pts
-                fwd_l = np.full((B, maxM), -1, np.int32)
+                fwd_l = np.full((B_up, maxM), -1, np.int32)
                 fwd_l[: len(pts)] = pad_rows(sel_l, maxM)
                 dev_up[l - 1] = _scatter_set_rows(
                     dev_up[l - 1], jnp.asarray(rows), jnp.asarray(fwd_l)

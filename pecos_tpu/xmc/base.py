@@ -487,6 +487,22 @@ class MLModel(pecos_tpu.BaseClass):
         W_rows: List[np.ndarray] = []
         W_cols: List[np.ndarray] = []
         W_vals: List[np.ndarray] = []
+
+        # Bounded dispatch pipeline: the solver chunks are independent, so a
+        # synchronous device_get per chunk would serialize host padding,
+        # device compute, and the tunnel round trip (each fetch costs ~30 ms
+        # of latency on top of compute).  Keep a window of in-flight chunks:
+        # host prep of chunk i+1 overlaps device compute of chunk i; results
+        # are pruned/scattered when they retire from the window.
+        from collections import deque
+
+        pending: deque = deque()
+
+        def retire(limit: int) -> None:
+            while len(pending) > limit:
+                finish, dev = pending.popleft()
+                finish(np.array(jax.device_get(dev)))
+
         for (P2, F2, xc2), bjobs in buckets.items():
             # device chunk size bounded by local-dense memory P2*F2*Cb
             cb = max(1, (1 << 24) // (P2 * F2))
@@ -503,7 +519,7 @@ class MLModel(pecos_tpu.BaseClass):
                     vals[i, :P, :xc] = xv
                     yb[i, :P] = yy
                     cb_[i, :P] = cc
-                Wl = solvers.solve_cluster_bucket(
+                Wl_dev = solvers.solve_cluster_bucket(
                     jnp.asarray(ids),
                     jnp.asarray(vals),
                     jnp.asarray(yb),
@@ -514,15 +530,20 @@ class MLModel(pecos_tpu.BaseClass):
                     max_newton=train_params.max_newton_iter,
                     cg_max=train_params.cg_max_iter,
                 )
-                Wl = prune_block(np.array(jax.device_get(Wl)))  # (Cb, F2, ns_max)
-                for i, (k, xi, xv, yy, cc) in enumerate(chunk):
-                    ch = children[k]
-                    Fk = F_feat[F_bounds[k] : F_bounds[k + 1]]
-                    Wi = Wl[i, : len(Fk), : len(ch)]
-                    f_idx, j_idx = np.nonzero(Wi)
-                    W_rows.append(Fk[f_idx])
-                    W_cols.append(ch[j_idx].astype(np.int64))
-                    W_vals.append(Wi[f_idx, j_idx].astype(np.float32))
+
+                def finish_bucket(Wl, chunk=chunk):
+                    Wl = prune_block(Wl)  # (Cb, F2, ns_max)
+                    for i, (k, xi, xv, yy, cc) in enumerate(chunk):
+                        ch = children[k]
+                        Fk = F_feat[F_bounds[k] : F_bounds[k + 1]]
+                        Wi = Wl[i, : len(Fk), : len(ch)]
+                        f_idx, j_idx = np.nonzero(Wi)
+                        W_rows.append(Fk[f_idx])
+                        W_cols.append(ch[j_idx].astype(np.int64))
+                        W_vals.append(Wi[f_idx, j_idx].astype(np.float32))
+
+                pending.append((finish_bucket, Wl_dev))
+                retire(6)
         # ---- huge clusters: global sparse-rows solver -----------------------
         for k, gx_ids, gx_vals, y, cost in big_jobs:
             ch = children[k]
@@ -537,7 +558,7 @@ class MLModel(pecos_tpu.BaseClass):
             cb_ = np.zeros((P2, len(ch)), np.float32)
             yb[:P] = y
             cb_[:P] = cost
-            Wg = solvers.solve_sparse_rows(
+            Wg_dev = solvers.solve_sparse_rows(
                 jnp.asarray(ids),
                 jnp.asarray(vals_),
                 jnp.asarray(yb),
@@ -548,11 +569,17 @@ class MLModel(pecos_tpu.BaseClass):
                 max_newton=train_params.max_newton_iter,
                 cg_max=train_params.cg_max_iter,
             )
-            Wg = prune_block(np.array(jax.device_get(Wg)))  # (Db, ns)
-            f_idx, j_idx = np.nonzero(Wg)
-            W_rows.append(f_idx.astype(np.int64))
-            W_cols.append(ch[j_idx].astype(np.int64))
-            W_vals.append(Wg[f_idx, j_idx].astype(np.float32))
+
+            def finish_big(Wg, ch=ch):
+                Wg = prune_block(Wg)  # (Db, ns)
+                f_idx, j_idx = np.nonzero(Wg)
+                W_rows.append(f_idx.astype(np.int64))
+                W_cols.append(ch[j_idx].astype(np.int64))
+                W_vals.append(Wg[f_idx, j_idx].astype(np.float32))
+
+            pending.append((finish_big, Wg_dev))
+            retire(2)
+        retire(0)
 
         rows = np.concatenate(W_rows) if W_rows else np.zeros(0, np.int64)
         cols = np.concatenate(W_cols) if W_cols else np.zeros(0, np.int64)

@@ -743,8 +743,9 @@ def single_layer_predict(
         pvals_np[rows, offs] = codes.data
         no_prev = False
     k = min(only_topk, parents_np.shape[1] * layer.max_children)
-    out_idx, out_val = [], []
     batch = min(batch_size, max(1, 1 << (N - 1).bit_length())) if N else 1
+    # dispatch all batches (uploads overlap device compute), fetch at the end
+    pending = []
     for s in range(0, N, batch):
         xb = Xd[s : s + batch]
         pb = parents_np[s : s + batch]
@@ -754,7 +755,7 @@ def single_layer_predict(
             xb = np.vstack([xb, np.zeros((pad, xb.shape[1]), np.float32)])
             pb = np.vstack([pb, np.full((pad, pb.shape[1]), -1, np.int32)])
             vb = np.vstack([vb, np.zeros((pad, vb.shape[1]), np.float32)])
-        labels, vals = _single_layer_jit(
+        out = _single_layer_jit(
             jnp.asarray(xb),
             layer,
             jnp.asarray(pb),
@@ -763,6 +764,9 @@ def single_layer_predict(
             pp_name=post_processor,
             no_prev=no_prev,
         )
+        pending.append((out, pad))
+    out_idx, out_val = [], []
+    for (labels, vals), pad in pending:
         labels = np.asarray(jax.device_get(labels))
         vals = np.asarray(jax.device_get(vals))
         if pad:
