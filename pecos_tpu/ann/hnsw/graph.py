@@ -238,17 +238,18 @@ def gather_dist(Q, feats, ids: jax.Array, metric: str) -> jax.Array:
     return qq + xx - 2.0 * dots
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
-def batch_search_level(
-    graph: DeviceGraph,
-    Q: jax.Array,  # (B, D)
+def _beam_search(
     entry_ids: jax.Array,  # (B, E) int32 starting points (-1 padded)
+    entry_dists: jax.Array,  # (B, E) distances of the entry points
+    neighbor_fn,  # (B, expand) popped ids -> ((B, expand*M) nbr ids, dists)
     *,
     ef: int,
     max_steps: int,
-    expand: int = 4,
+    expand: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Best-first beam search over one graph level for a whole query batch.
+    """Best-first beam search skeleton shared by the exact / PQ / packed
+    scoring variants (they differ only in how a popped node's neighbors are
+    enumerated and scored — ``neighbor_fn``).
 
     ``expand`` best unexpanded candidates are popped per iteration: the
     sequential pop-one loop of classic HNSW (hnsw.hpp:850-924) is
@@ -259,10 +260,8 @@ def batch_search_level(
     Returns (ids (B, ef), dists (B, ef)) sorted ascending by distance.
     """
     B, E = entry_ids.shape
-    M = graph.neighbors.shape[1]
 
-    # init beam from entry points
-    d0 = jnp.where(entry_ids >= 0, gather_dist(Q, graph.feats, entry_ids, graph.metric), INF)
+    d0 = jnp.where(entry_ids >= 0, entry_dists, INF)
     ids0 = jnp.where(entry_ids >= 0, entry_ids, -1)
     pad_n = ef - E if E < ef else 0
     if pad_n > 0:
@@ -295,12 +294,11 @@ def batch_search_level(
         cand_id = jnp.take_along_axis(ids, cand_pos, axis=1)  # (B, expand)
         # mark expanded via scatter
         expanded = expanded.at[jnp.arange(B)[:, None], cand_pos].set(True)
-        # gather neighbors of all popped candidates
-        nbrs = graph.neighbors[
-            jnp.clip(cand_id, 0, graph.neighbors.shape[0] - 1)
-        ].reshape(B, expand * M)
+        # gather + score neighbors of all popped candidates
+        nbrs, nd = neighbor_fn(cand_id)
+        M = nbrs.shape[1] // expand
         nbrs = jnp.where(has_cand.repeat(M, axis=1), nbrs, -1)
-        nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
+        nd = jnp.where(nbrs >= 0, nd, INF)
         # dedup: mask out neighbors already present in beam
         dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
         nd = jnp.where(dup, INF, nd)
@@ -346,6 +344,33 @@ def batch_search_level(
 
 
 @functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
+def batch_search_level(
+    graph: DeviceGraph,
+    Q: jax.Array,  # (B, D)
+    entry_ids: jax.Array,  # (B, E) int32 starting points (-1 padded)
+    *,
+    ef: int,
+    max_steps: int,
+    expand: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact-distance beam search over one graph level (see _beam_search)."""
+    B = Q.shape[0] if not isinstance(Q, SparseBlock) else Q.ids.shape[0]
+    M = graph.neighbors.shape[1]
+    N = graph.neighbors.shape[0]
+
+    def neighbor_fn(cand_id):
+        expand_ = cand_id.shape[1]
+        nbrs = graph.neighbors[jnp.clip(cand_id, 0, N - 1)].reshape(B, expand_ * M)
+        nd = gather_dist(Q, graph.feats, nbrs, graph.metric)
+        return nbrs, nd
+
+    d0 = gather_dist(Q, graph.feats, entry_ids, graph.metric)
+    return _beam_search(
+        entry_ids, d0, neighbor_fn, ef=ef, max_steps=max_steps, expand=expand
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
 def batch_search_level_pq(
     codes: jax.Array,  # (N, S) uint8 PQ codes
     neighbors: jax.Array,  # (N, M) int32
@@ -357,81 +382,72 @@ def batch_search_level_pq(
     expand: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """PQ4 variant of batch_search_level: distances come from the per-query
-    LUT gather (quantizer_impl/common.hpp semantics) instead of exact dots.
-    Same multi-pop + single multi-operand merge structure as the exact
-    search: sequential loop iterations are the cost on TPU, so `expand`
-    candidates are popped per step."""
+    LUT gather (quantizer_impl/common.hpp semantics) instead of exact dots."""
     from .pq import pq_gather_dist
 
     B, E = entry_ids.shape
     M = neighbors.shape[1]
+    N = neighbors.shape[0]
 
-    def dist(ids):
-        return pq_gather_dist(lut, codes, ids)
+    def neighbor_fn(cand_id):
+        expand_ = cand_id.shape[1]
+        nbrs = neighbors[jnp.clip(cand_id, 0, N - 1)].reshape(B, expand_ * M)
+        return nbrs, pq_gather_dist(lut, codes, nbrs)
 
-    d0 = jnp.where(entry_ids >= 0, dist(entry_ids), INF)
-    ids0 = jnp.where(entry_ids >= 0, entry_ids, -1)
-    pad_n = ef - E if E < ef else 0
-    if pad_n > 0:
-        ids0 = jnp.concatenate([ids0, jnp.full((B, pad_n), -1, jnp.int32)], axis=1)
-        d0 = jnp.concatenate([d0, jnp.full((B, pad_n), INF)], axis=1)
-    order = jnp.argsort(d0, axis=1)
-    d0 = jnp.take_along_axis(d0, order, axis=1)
-    ids0 = jnp.take_along_axis(ids0, order, axis=1)
-    expanded0 = ids0 < 0
-
-    def cond(state):
-        ids, dists, expanded, steps = state
-        best_unexp = jnp.min(jnp.where(expanded, INF, dists), axis=1)
-        worst = jnp.max(jnp.where(ids >= 0, dists, -INF), axis=1)
-        return jnp.logical_and(steps < max_steps, jnp.any(best_unexp <= worst))
-
-    def body(state):
-        ids, dists, expanded, steps = state
-        masked = jnp.where(expanded, INF, dists)
-        neg_top, cand_pos = jax.lax.top_k(-masked, expand)
-        has_cand = -neg_top < INF * 0.5
-        cand_id = jnp.take_along_axis(ids, cand_pos, axis=1)
-        expanded = expanded.at[jnp.arange(B)[:, None], cand_pos].set(True)
-        nbrs = neighbors[jnp.clip(cand_id, 0, neighbors.shape[0] - 1)].reshape(B, expand * M)
-        nbrs = jnp.where(has_cand.repeat(M, axis=1), nbrs, -1)
-        nd = jnp.where(nbrs >= 0, dist(nbrs), INF)
-        dup = jnp.any(nbrs[:, :, None] == ids[:, None, :], axis=2)
-        nd = jnp.where(dup, INF, nd)
-        nbrs = jnp.where(dup, -1, nbrs)
-        # one multi-operand merge sort (see batch_search_level)
-        sd, si, se = jax.lax.sort(
-            (
-                jnp.concatenate([dists, nd], axis=1),
-                jnp.concatenate([ids, nbrs], axis=1),
-                jnp.concatenate([expanded, nbrs < 0], axis=1),
-            ),
-            num_keys=1,
-        )
-        sd, si, se = sd[:, :ef], si[:, :ef], se[:, :ef]
-        # same-step duplicate copies share one LUT distance -> adjacent
-        dup2 = jnp.concatenate(
-            [jnp.zeros((B, 1), bool), (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)],
-            axis=1,
-        )
-        si = jnp.where(dup2, -1, si)
-        sd = jnp.where(dup2, INF, sd)
-        se = se | dup2
-        return si, sd, se, steps + 1
-
-    ids, dists, _, _ = jax.lax.while_loop(cond, body, (ids0, d0, expanded0, jnp.int32(0)))
-    # post-loop exact dedup (see batch_search_level)
-    big = jnp.int32(2**30)
-    oid = jnp.where(ids < 0, big, ids)
-    k_id, k_d = jax.lax.sort((oid, dists), num_keys=1)
-    dupf = (
-        jnp.concatenate([jnp.zeros((B, 1), bool), k_id[:, 1:] == k_id[:, :-1]], axis=1)
-        & (k_id < big)
+    d0 = pq_gather_dist(lut, codes, entry_ids)
+    return _beam_search(
+        entry_ids, d0, neighbor_fn, ef=ef, max_steps=max_steps, expand=expand
     )
-    k_d = jnp.where(dupf, INF, k_d)
-    k_id = jnp.where(dupf, big, k_id)
-    d2, id2 = jax.lax.sort((k_d, k_id), num_keys=1)
-    return jnp.where(id2 >= big, -1, id2), d2
+
+
+def pack_neighbor_codes(neighbors: jax.Array, codes: jax.Array) -> jax.Array:
+    """Inline each node's neighbor PQ codes with its adjacency row:
+    (N, M) x (N, S) -> (N, M, S) uint8.
+
+    The TPU analog of the reference's inlined neighbor features
+    (hnsw.hpp:93-178 stores features next to the adjacency list): the
+    in-loop cost of graph search here is per-ROW gather overhead (~14 ns a
+    row regardless of bytes, scripts/probe_hnsw_parts.py), so one gather
+    per popped node that returns all M neighbor code rows replaces M
+    separate row gathers — M x less gather overhead and ~8x fewer HBM
+    bytes than gathering f32 feature rows."""
+    safe = jnp.clip(neighbors, 0, codes.shape[0] - 1)
+    return codes[safe]  # (N, M, S); invalid (-1) slots are masked at use-site
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
+def batch_search_level_pq_packed(
+    codes: jax.Array,  # (N, S) uint8 PQ codes (entry-point scoring only)
+    neighbors: jax.Array,  # (N, M) int32
+    nbr_codes: jax.Array,  # (N, M, S) uint8 packed neighbor codes
+    lut: jax.Array,  # (B, S, 16) float32 per-query LUT
+    entry_ids: jax.Array,  # (B, E)
+    *,
+    ef: int,
+    max_steps: int,
+    expand: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Packed-descriptor PQ search: ONE row gather per popped node serves
+    the scoring of all its M neighbors (ids + codes ride the same index),
+    instead of M per-neighbor code-row gathers.  Search results are
+    identical to batch_search_level_pq — only the memory layout changes."""
+    from .pq import pq_apply_lut, pq_gather_dist
+
+    B, E = entry_ids.shape
+    M = neighbors.shape[1]
+    N = neighbors.shape[0]
+
+    def neighbor_fn(cand_id):
+        expand_ = cand_id.shape[1]
+        safe = jnp.clip(cand_id, 0, N - 1)
+        nbrs = neighbors[safe].reshape(B, expand_ * M)
+        c = nbr_codes[safe].reshape(B, expand_ * M, nbr_codes.shape[2])
+        return nbrs, pq_apply_lut(lut, c)
+
+    d0 = pq_gather_dist(lut, codes, entry_ids)
+    return _beam_search(
+        entry_ids, d0, neighbor_fn, ef=ef, max_steps=max_steps, expand=expand
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))

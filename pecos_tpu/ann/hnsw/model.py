@@ -530,12 +530,19 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
         num_rerank: int = 100
         threads: int = -1
         batch_size: int = 2048  # queries per device dispatch (see HNSW)
+        # packed neighbor descriptors: one row gather per popped node scores
+        # all M neighbors (graph.pack_neighbor_codes).  "auto" packs when the
+        # (N, M, S) uint8 array fits the HBM budget; costs N*M*S bytes.
+        packed: str = "auto"  # "auto" | "true" | "false"
+
+    PACKED_HBM_BUDGET = 6 << 30  # bytes of HBM the packed array may claim
 
     def __init__(self, hnsw: HNSW, pq, pred_params=None):
         self.hnsw = hnsw
         self.pq = pq
         self.pred_params = self.PredParams.from_dict(pred_params)
         self._codes_d = None
+        self._nbr_codes_d = None
 
     @classmethod
     def train(cls, X, train_params=None, pred_params=None, **kwargs) -> "HNSWProductQuantizer4Bits":
@@ -579,7 +586,12 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
         return cls(hnsw, pq, pred_params=pred_params)
 
     def predict(self, X, pred_params=None, **kwargs):
-        from .graph import batch_greedy_descent, batch_search_level_pq
+        from .graph import (
+            batch_greedy_descent,
+            batch_search_level_pq,
+            batch_search_level_pq_packed,
+            pack_neighbor_codes,
+        )
         from .pq import build_lut
 
         params = self.get_pred_params() if pred_params is None else self.PredParams.from_dict(pred_params)
@@ -589,6 +601,13 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
         g0, uppers = self.hnsw._device()
         if self._codes_d is None:
             self._codes_d = jnp.asarray(self.pq.codes)
+        N, M = g0.neighbors.shape
+        S = self.pq.codes.shape[1]
+        use_packed = params.packed == "true" or (
+            params.packed == "auto" and N * M * S <= self.PACKED_HBM_BUDGET
+        )
+        if use_packed and self._nbr_codes_d is None:
+            self._nbr_codes_d = pack_neighbor_codes(g0.neighbors, self._codes_d)
         from .graph import gather_dist
 
         chunk = max(1, params.batch_size)
@@ -606,14 +625,25 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
                 cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
             lut = jnp.asarray(build_lut(self.pq, Qc, self.hnsw.metric))
             ef = max(params.efS, params.num_rerank, topk)
-            ids, _ = batch_search_level_pq(
-                self._codes_d,
-                g0.neighbors,
-                lut,
-                cur[:, None],
-                ef=ef,
-                max_steps=4 * ef,
-            )
+            if use_packed:
+                ids, _ = batch_search_level_pq_packed(
+                    self._codes_d,
+                    g0.neighbors,
+                    self._nbr_codes_d,
+                    lut,
+                    cur[:, None],
+                    ef=ef,
+                    max_steps=4 * ef,
+                )
+            else:
+                ids, _ = batch_search_level_pq(
+                    self._codes_d,
+                    g0.neighbors,
+                    lut,
+                    cur[:, None],
+                    ef=ef,
+                    max_steps=4 * ef,
+                )
             # exact rerank of the top num_rerank (hnsw.hpp:1239-1258)
             top = ids[:, : params.num_rerank]
             exact = gather_dist(
@@ -660,6 +690,6 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
             pred_params={
                 k: v
                 for k, v in param.get("pred_kwargs", {}).items()
-                if k in ("efS", "topk", "num_rerank", "threads")
+                if k in ("efS", "topk", "num_rerank", "threads", "packed")
             },
         )

@@ -128,22 +128,31 @@ def build_lut(pq: ProductQuantizer4Bits, Q: np.ndarray, metric: str) -> np.ndarr
     return (qq + cc - 2.0 * dots).astype(np.float32)
 
 
+def pq_apply_lut(
+    lut: jax.Array,  # (B, S, 16) float32
+    c: jax.Array,  # (B, K, S) uint8/int32 codes already gathered
+    ip_offset: float = 0.0,
+) -> jax.Array:
+    """sum_s LUT[b, s, c[b, k, s]] as a 16-way compare-select reduction.
+
+    NOT a gather: take_along_axis here would issue B*K*S scalar gathers,
+    which XLA executes at ~14 ns each inside device loops (measured
+    ~1 s/step at SIFT-1M shapes); the compare-select version is pure fused
+    VPU work and reads the codes once.  TPU analog of the reference's
+    AVX512 shuffle-LUT (quantizer_impl/x86.hpp)."""
+    c = c.astype(jnp.int32)
+    acc = jnp.zeros(c.shape[:2], jnp.float32)
+    for x in range(16):
+        acc = acc + jnp.sum(jnp.where(c == x, lut[:, None, :, x], 0.0), axis=-1)
+    return acc + ip_offset
+
+
 def pq_gather_dist(
     lut: jax.Array,  # (B, S, 16) float32
     codes: jax.Array,  # (N, S) uint8 on device
     ids: jax.Array,  # (B, K) int32 candidate ids
     ip_offset: float = 0.0,
 ) -> jax.Array:
-    """Approximate distances for candidates: sum_s LUT[b, s, code[id, s]].
-
-    The 16-entry LUT lookup is a 16-way compare-select reduction, NOT a
-    gather: take_along_axis here would issue B*K*S scalar gathers, which
-    XLA executes at ~14 ns each inside device loops (measured ~1 s/step at
-    SIFT-1M shapes); the compare-select version is pure fused VPU work and
-    reads the codes once.  TPU analog of the reference's AVX512 shuffle-LUT
-    (quantizer_impl/x86.hpp)."""
-    c = codes[jnp.clip(ids, 0, codes.shape[0] - 1)].astype(jnp.int32)  # (B, K, S)
-    acc = jnp.zeros(ids.shape, jnp.float32)
-    for x in range(16):
-        acc = acc + jnp.sum(jnp.where(c == x, lut[:, None, :, x], 0.0), axis=-1)
-    return acc + ip_offset
+    """Approximate distances for candidates: sum_s LUT[b, s, code[id, s]]."""
+    c = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]  # (B, K, S)
+    return pq_apply_lut(lut, c, ip_offset)

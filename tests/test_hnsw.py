@@ -176,6 +176,27 @@ def test_pq4_recall_with_rerank():
     assert (np.diff(dists, axis=1) >= -1e-5).all()
 
 
+def test_pq4_packed_matches_unpacked():
+    """Packed neighbor descriptors change the memory layout only: the packed
+    search scores the same codes against the same LUT, so predictions must be
+    identical to the unpacked kernel."""
+    from pecos_tpu.ann.hnsw.model import HNSWProductQuantizer4Bits
+
+    X, Q = _data(n=300, nq=30, d=32, seed=9)
+    model = HNSWProductQuantizer4Bits.train(
+        X,
+        train_params={
+            "hnsw_params": {"M": 16, "efC": 60, "metric_type": "l2", "max_level_upper_bound": 3},
+            "num_subspaces": 16,
+            "kmeans_iters": 8,
+        },
+    )
+    i_un, d_un = model.predict(Q, efS=80, topk=10, num_rerank=60, packed="false")
+    i_pk, d_pk = model.predict(Q, efS=80, topk=10, num_rerank=60, packed="true")
+    np.testing.assert_array_equal(i_un, i_pk)
+    np.testing.assert_allclose(d_un, d_pk, rtol=1e-6)
+
+
 def test_pq4_save_load(tmp_path):
     from pecos_tpu.ann.hnsw.model import HNSWProductQuantizer4Bits
 
