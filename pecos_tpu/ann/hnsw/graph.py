@@ -698,6 +698,109 @@ def scatter_prune_rows_alg4(
     return neighbors.at[rows, :].set(picked, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def exact_rescore(
+    Q,  # (B, D) | SparseBlock
+    feats,  # (N, D) | SparseFeats
+    ids: jax.Array,  # (B, E) candidate ids (-1 padded), any order
+    *,
+    metric: str,
+) -> Tuple[jax.Array, jax.Array]:
+    """Re-rank approximately-scored candidates with exact distances.
+
+    One batched gather+dot over the final candidate list — the rerank step
+    of PQ-guided search (hnsw.hpp:1239-1258 semantics), also used by the
+    PQ-guided BUILD so forward-edge selection always sees exact distances.
+    Returns (ids, dists) sorted ascending, -1/INF padded."""
+    N = feats.shape[0]
+    d = gather_dist(Q, feats, jnp.clip(ids, 0, N - 1), metric)
+    d = jnp.where(ids >= 0, d, INF)
+    big = jnp.int32(2**30)
+    sd, si = jax.lax.sort((d, jnp.where(ids < 0, big, ids)), num_keys=1)
+    return jnp.where(si >= big, -1, si), sd
+
+
+@jax.jit
+def pack_rows_codes(codes: jax.Array, rows_vals: jax.Array) -> jax.Array:
+    """codes (N+, S) gathered at rows_vals (A, K) -> (A, K, S); -1 slots get
+    garbage rows which downstream masks by id sign (see _beam_search)."""
+    return codes[jnp.clip(rows_vals, 0, codes.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def scatter_set_rows_packed(
+    neighbors: jax.Array,  # (N, cap) int32 adjacency
+    nbr_desc: jax.Array,  # (N, cap, S) uint8 packed neighbor codes
+    codes: jax.Array,  # (N, S) uint8 node codes
+    rows: jax.Array,  # (A,) row ids; pad with N (dropped)
+    vals: jax.Array,  # (A, cap) new rows, -1 padded
+) -> Tuple[jax.Array, jax.Array]:
+    """Row replacement that keeps the packed descriptor array in lockstep
+    with the adjacency: one dispatch writes both."""
+    desc = codes[jnp.clip(vals, 0, codes.shape[0] - 1)]
+    return (
+        neighbors.at[rows, :].set(vals, mode="drop"),
+        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "alg4"), donate_argnums=(0, 1)
+)
+def scatter_prune_rows_packed(
+    neighbors: jax.Array,  # (N, cap)
+    nbr_desc: jax.Array,  # (N, cap, S) uint8
+    codes: jax.Array,  # (N, S) uint8
+    feats: jax.Array,  # (N, D)
+    rows: jax.Array,  # (A,)
+    new_cands: jax.Array,  # (A, K)
+    *,
+    metric: str,
+    alg4: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """scatter_prune_rows{,_alg4} + packed-descriptor maintenance fused into
+    one dispatch: merge new reverse-edge candidates into each affected row,
+    prune to cap (keep-closest or Alg-4), and rewrite both the adjacency row
+    and its packed neighbor-code row."""
+    N, cap = neighbors.shape
+    A, K = new_cands.shape
+    safe_rows = jnp.clip(rows, 0, N - 1)
+    existing = neighbors[safe_rows]
+    cand = jnp.concatenate([existing, new_cands], axis=1)  # (A, E)
+    big = jnp.int32(2**30)
+    first = jnp.argsort(jnp.where(cand < 0, big, cand), axis=1)
+    srt = jnp.take_along_axis(cand, first, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((A, 1), bool), (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)], axis=1
+    )
+    inv = jnp.argsort(first, axis=1)
+    cand = jnp.where(jnp.take_along_axis(dup_sorted, inv, axis=1), -1, cand)
+    base = feats[safe_rows]
+    d = jnp.where(cand >= 0, gather_dist(base, feats, cand, metric), INF)
+    if alg4:
+        order = jnp.argsort(d, axis=1)
+        cand = jnp.take_along_axis(cand, order, axis=1)
+        d = jnp.take_along_axis(d, order, axis=1)
+        F = feats[jnp.clip(cand, 0, N - 1)]  # (A, E, D)
+        dots = jnp.einsum(
+            "aed,afd->aef", F, F, preferred_element_type=jnp.float32, precision="highest"
+        )
+        if metric == "ip":
+            cross = 1.0 - dots
+        else:
+            nn = jnp.sum(F * F, axis=-1)
+            cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+        pruned = batch_select_neighbors(cand, d, cross, M=cap)
+    else:
+        neg, pos = jax.lax.top_k(-d, cap)
+        pruned = jnp.where(-neg < INF * 0.5, jnp.take_along_axis(cand, pos, axis=1), -1)
+    desc = codes[jnp.clip(pruned, 0, codes.shape[0] - 1)]
+    return (
+        neighbors.at[rows, :].set(pruned, mode="drop"),
+        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+    )
+
+
 def select_neighbors_heuristic(
     cand_ids: np.ndarray,  # (K,) candidate ids sorted by distance to q (asc)
     cand_dists: np.ndarray,  # (K,) distances to q

@@ -19,6 +19,7 @@ import functools
 import json
 import logging
 import os
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -81,6 +82,9 @@ def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
 
 
 class HNSW(pecos_tpu.BaseClass):
+    # bytes of HBM the PQ-guided build's packed descriptor array may claim
+    BUILD_PQ_HBM_BUDGET = 6 << 30
+
     @dc.dataclass
     class TrainParams(pecos_tpu.BaseParams):
         M: int = 32
@@ -106,6 +110,19 @@ class HNSW(pecos_tpu.BaseClass):
         # sparse (reference data_type, pecos/ann/hnsw/model.py:130-147)
         data_type: str = "auto"  # auto | drm | csr
         sparse_dim_threshold: int = 65536
+        # PQ-guided build (dense feats): level-0 insertion/refine searches
+        # walk the graph on packed 4-bit PQ neighbor descriptors (ONE row
+        # gather per popped node, see graph.pack_neighbor_codes) and the
+        # candidate list is exact-rescored before Alg-4 selection.  In-loop
+        # search cost is per-row gather overhead (~14 ns/row), so packed
+        # descriptors cut it ~expand*M/expand = M-fold; edge selection and
+        # reverse-edge pruning stay exact, so graph quality tracks the exact
+        # build (equality is not expected — batched builds are already
+        # schedule-dependent).  auto = on when the packed array fits the HBM
+        # budget and N is large enough to amortize codebook training.
+        build_pq: str = "auto"  # auto | true | false
+        build_pq_subspaces: int = 64
+        build_pq_min_points: int = 50000
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -175,7 +192,14 @@ class HNSW(pecos_tpu.BaseClass):
         Every device call uses ONE padded batch shape, so the whole build
         compiles a fixed handful of kernels regardless of N.
         """
-        from .graph import batch_select_from_search
+        from .graph import (
+            batch_search_level_pq_packed,
+            batch_select_from_search,
+            exact_rescore,
+            pack_rows_codes,
+            scatter_prune_rows_packed,
+            scatter_set_rows_packed,
+        )
 
         params = cls.TrainParams.from_dict(train_params)
         params.override_with_kwargs(kwargs)
@@ -214,6 +238,33 @@ class HNSW(pecos_tpu.BaseClass):
         dev_n0 = jnp.full((N, maxM0), -1, jnp.int32)
         dev_up = [jnp.full((N, maxM), -1, jnp.int32) for _ in range(max_level)]
 
+        # -- PQ-guided level-0 build search (see TrainParams.build_pq) --
+        S_pq = min(params.build_pq_subspaces, max(1, D // 2))
+        use_pq_build = (
+            not use_sparse
+            and params.build_pq != "false"
+            and (
+                params.build_pq == "true"
+                or (
+                    N >= params.build_pq_min_points
+                    and N * maxM0 * S_pq <= cls.BUILD_PQ_HBM_BUDGET
+                    and D >= 16
+                )
+            )
+        )
+        codes_d = codebooks_d = nbr_desc = None
+        if use_pq_build:
+            from .pq import build_lut_device, train_pq4
+
+            t_pq = time.time()
+            pq = train_pq4(feats, num_subspaces=S_pq, iters=10, seed=params.seed)
+            codes_d = jnp.asarray(pq.codes)
+            codebooks_d = jnp.asarray(pq.codebooks)
+            nbr_desc = jnp.zeros((N, maxM0, S_pq), jnp.uint8)
+            LOGGER.info(
+                "hnsw build: PQ guide trained (S=%d) in %.1fs", S_pq, time.time() - t_pq
+            )
+
         # single padded batch shape -> fixed set of compiled kernels
         B = min(params.build_batch_size, max(32, 1 << (max(N - 1, 1)).bit_length()))
         K_PAD = 64  # reverse-edge arrivals per node per scatter call
@@ -244,6 +295,21 @@ class HNSW(pecos_tpu.BaseClass):
             for l in range(max_level, at_level, -1):
                 g = DeviceGraph(feats_d, dev_up[l - 1], metric)
                 cur = batch_greedy_descent(g, Q, cur, max_steps=64)
+            if at_level == 0 and use_pq_build:
+                # walk on packed PQ descriptors, exact-rescore the result so
+                # edge selection always sees exact distances
+                lut = build_lut_device(codebooks_d, Q, metric=metric)
+                ids, _ = batch_search_level_pq_packed(
+                    codes_d,
+                    dev_n0,
+                    nbr_desc,
+                    lut,
+                    cur[:, None],
+                    ef=ef,
+                    max_steps=4 * ef,
+                    expand=params.build_expand,
+                )
+                return exact_rescore(Q, feats_d, ids, metric=metric)
             arr = dev_n0 if at_level == 0 else dev_up[at_level - 1]
             g = DeviceGraph(feats_d, arr, metric)
             return batch_search_level(
@@ -253,8 +319,12 @@ class HNSW(pecos_tpu.BaseClass):
         def bucket_pow2(n: int, lo: int, hi: int) -> int:
             return int(min(hi, max(lo, 1 << (max(n, 1) - 1).bit_length())))
 
-        def apply_reverse(arr, dst: np.ndarray, src: np.ndarray, use_alg4: bool):
-            """Merge src->dst reverse edges into adjacency arr (device)."""
+        def apply_reverse(arr, desc, dst: np.ndarray, src: np.ndarray, use_alg4: bool):
+            """Merge src->dst reverse edges into adjacency arr (device).
+
+            When ``desc`` is given (PQ-guided L0 build) the packed descriptor
+            array is pruned/rewritten in the same dispatch; returns
+            (arr, desc)."""
             prune = scatter_prune_rows_alg4 if use_alg4 else scatter_prune_rows
             Nn = arr.shape[0]
             for rows, cands in _group_edges(dst, src, K_PAD):
@@ -269,8 +339,22 @@ class HNSW(pecos_tpu.BaseClass):
                     if a_pad > 0:
                         r = np.concatenate([r, np.full(a_pad, Nn, np.int32)])
                         c = np.concatenate([c, np.full((a_pad, K_PAD), -1, np.int32)])
-                    arr = prune(arr, feats_d, jnp.asarray(r), jnp.asarray(c), metric=metric)
-            return arr
+                    if desc is not None:
+                        arr, desc = scatter_prune_rows_packed(
+                            arr,
+                            desc,
+                            codes_d,
+                            feats_d,
+                            jnp.asarray(r),
+                            jnp.asarray(c),
+                            metric=metric,
+                            alg4=use_alg4,
+                        )
+                    else:
+                        arr = prune(
+                            arr, feats_d, jnp.asarray(r), jnp.asarray(c), metric=metric
+                        )
+            return arr, desc
 
         def pad_rows(vals: np.ndarray, cap: int) -> np.ndarray:
             out = np.full((vals.shape[0], cap), -1, np.int32)
@@ -293,12 +377,21 @@ class HNSW(pecos_tpu.BaseClass):
             batch_pad[:b] = batch
             fwd0 = np.full((B, maxM0), -1, np.int32)
             fwd0[:b] = pad_rows(sel_all, maxM0)
-            dev_n0 = _scatter_set_rows(dev_n0, jnp.asarray(batch_pad), jnp.asarray(fwd0))
+            if use_pq_build:
+                dev_n0, nbr_desc = scatter_set_rows_packed(
+                    dev_n0, nbr_desc, codes_d, jnp.asarray(batch_pad), jnp.asarray(fwd0)
+                )
+            else:
+                dev_n0 = _scatter_set_rows(
+                    dev_n0, jnp.asarray(batch_pad), jnp.asarray(fwd0)
+                )
             valid = sel_all >= 0
             dst = sel_all[valid].astype(np.int64)
             src = np.repeat(batch, valid.sum(axis=1))
             if len(dst):
-                dev_n0 = apply_reverse(dev_n0, dst, src, params.reverse_alg4)
+                dev_n0, nbr_desc = apply_reverse(
+                    dev_n0, nbr_desc, dst, src, params.reverse_alg4
+                )
             # upper levels: search AT each level for that level's candidates
             # and connect there — the reference inserts per level lc..0 with
             # per-level searches (hnsw.hpp:747-783); deriving upper edges from
@@ -324,7 +417,9 @@ class HNSW(pecos_tpu.BaseClass):
                 dstl = sel_l[validl].astype(np.int64)
                 srcl = np.repeat(pts, validl.sum(axis=1))
                 if len(dstl):
-                    dev_up[l - 1] = apply_reverse(dev_up[l - 1], dstl, srcl, params.reverse_alg4)
+                    dev_up[l - 1], _ = apply_reverse(
+                        dev_up[l - 1], None, dstl, srcl, params.reverse_alg4
+                    )
             top = batch[np.argmax(levels[batch])]
             if levels[top] > levels[entry]:
                 entry = int(top)
@@ -372,10 +467,14 @@ class HNSW(pecos_tpu.BaseClass):
             n0_host = np.full((N, maxM0), -1, np.int32)
             n0_host[:, :M] = new_fwd
             dev_n0 = jnp.asarray(n0_host)
+            if use_pq_build:
+                nbr_desc = pack_rows_codes(codes_d, dev_n0)
             valid = new_fwd >= 0
             dst = new_fwd[valid].astype(np.int64)
             src = np.repeat(np.arange(N, dtype=np.int64), valid.sum(axis=1))
-            dev_n0 = apply_reverse(dev_n0, dst, src, params.reverse_alg4)
+            dev_n0, nbr_desc = apply_reverse(
+                dev_n0, nbr_desc, dst, src, params.reverse_alg4
+            )
 
         neighbors0 = np.asarray(dev_n0)
         uppers = (

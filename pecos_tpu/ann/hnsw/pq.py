@@ -128,6 +128,34 @@ def build_lut(pq: ProductQuantizer4Bits, Q: np.ndarray, metric: str) -> np.ndarr
     return (qq + cc - 2.0 * dots).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def build_lut_device(
+    codebooks: jax.Array,  # (S, 16, d_sub) float32
+    Q: jax.Array,  # (B, D) float32/bfloat16, D <= S * d_sub
+    *,
+    metric: str,
+) -> jax.Array:
+    """Device-side build_lut: (B, S, 16) per-query LUT without a host round
+    trip.  Used by the PQ-guided graph build, where queries are gathered rows
+    of the device feature array (model.py) and a host LUT would force a fetch
+    per insertion batch."""
+    S, K, d_sub = codebooks.shape
+    B, D = Q.shape
+    pad = S * d_sub - D
+    Qf = Q.astype(jnp.float32)
+    if pad:
+        Qf = jnp.concatenate([Qf, jnp.zeros((B, pad), jnp.float32)], axis=1)
+    Qs = Qf.reshape(B, S, d_sub)
+    dots = jnp.einsum(
+        "bsd,skd->bsk", Qs, codebooks, preferred_element_type=jnp.float32, precision="highest"
+    )
+    if metric == "ip":
+        return -dots
+    qq = jnp.sum(Qs * Qs, axis=-1, keepdims=True)
+    cc = jnp.sum(codebooks * codebooks, axis=-1)[None, :, :]
+    return qq + cc - 2.0 * dots
+
+
 def pq_apply_lut(
     lut: jax.Array,  # (B, S, 16) float32
     c: jax.Array,  # (B, K, S) uint8/int32 codes already gathered

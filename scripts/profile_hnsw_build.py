@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--M", type=int, default=32)
     ap.add_argument("--efC", type=int, default=100)
     ap.add_argument("--refine-iters", type=int, default=1)
+    ap.add_argument("--build-pq", default="auto")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--baseline", action="store_true", help="also time an unpatched run")
     args = ap.parse_args()
@@ -45,7 +46,7 @@ def main():
 
     if args.baseline:
         t0 = time.time()
-        Mmod.HNSW.train(X, M=args.M, efC=args.efC, refine_iters=args.refine_iters)
+        Mmod.HNSW.train(X, M=args.M, efC=args.efC, refine_iters=args.refine_iters, build_pq=args.build_pq)
         print(f"unpatched wall-clock: {time.time() - t0:.1f}s")
 
     totals = collections.Counter()
@@ -66,9 +67,14 @@ def main():
     # patch at both the graph module and the model module import sites
     for name in (
         "batch_search_level",
+        "batch_search_level_pq_packed",
         "batch_greedy_descent",
         "scatter_prune_rows",
         "scatter_prune_rows_alg4",
+        "scatter_prune_rows_packed",
+        "scatter_set_rows_packed",
+        "exact_rescore",
+        "pack_rows_codes",
         "gather_dist",
     ):
         orig = getattr(G, name)
@@ -81,7 +87,7 @@ def main():
                 setattr(mod, name, wrap(name, getattr(mod, name)))
 
     t0 = time.time()
-    Mmod.HNSW.train(X, M=args.M, efC=args.efC, refine_iters=args.refine_iters)
+    Mmod.HNSW.train(X, M=args.M, efC=args.efC, refine_iters=args.refine_iters, build_pq=args.build_pq)
     wall = time.time() - t0
     print(f"patched wall-clock: {wall:.1f}s  (n={args.n})")
     timed = sum(totals.values())

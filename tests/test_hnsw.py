@@ -111,6 +111,21 @@ def test_sparse_highdim_recall():
     assert rec >= 0.9, f"sparse high-dim tie-aware recall={rec}"
 
 
+def test_pq_guided_build_recall():
+    """build_pq="true" forces the PQ-guided level-0 build: insertion searches
+    walk packed 4-bit neighbor descriptors (one row gather per popped node)
+    and the candidate list is exact-rescored before Alg-4 edge selection
+    (hnsw.hpp:1239-1258 rerank semantics applied at build time), so the
+    finished graph's recall tracks the exact build."""
+    X, Q = _data(n=500, nq=50, d=32, seed=11)
+    model = HNSW.train(X, M=16, efC=80, metric_type="l2", build_pq="true")
+    true_ids = _exact_topk(X, Q, 10, "l2")
+    ids, dists = model.predict(Q, efS=100, topk=10)
+    rec = _recall(ids, true_ids)
+    assert rec >= 0.97, f"pq-guided build recall={rec}"
+    assert (np.diff(dists, axis=1) >= -1e-5).all()
+
+
 def test_sparse_save_load_identical(tmp_path):
     X, Q = _sparse_data(n=300, nq=10, d=4096, seed=4)
     model = HNSW.train(X, M=8, efC=40, data_type="csr", build_batch_size=128)
