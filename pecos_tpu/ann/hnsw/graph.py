@@ -570,12 +570,15 @@ def batch_select_neighbors(
     sel_mask, _ = jax.lax.fori_loop(
         0, E, body, (jnp.zeros((B, E), bool), jnp.zeros((B,), jnp.int32))
     )
-    # compact selected ids to the left, pad with -1
+    # compact selected ids to the left, pad with -1 / INF
     order = jnp.argsort(jnp.where(sel_mask, jnp.arange(E)[None, :], E), axis=1)[:, :M]
     picked = jnp.take_along_axis(
         jnp.where(sel_mask, cand_ids, -1), order, axis=1
     )
-    return picked
+    picked_d = jnp.take_along_axis(
+        jnp.where(sel_mask, cand_dists, INF), order, axis=1
+    )
+    return picked, picked_d
 
 
 @functools.partial(jax.jit, static_argnames=("M", "metric"))
@@ -605,6 +608,235 @@ def batch_select_from_search(
         nn = jnp.sum(F * F, axis=-1)
         cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
     return batch_select_neighbors(ids, dists, cross, M=M)
+
+
+@jax.jit
+def refine_union_candidates(
+    neighbors: jax.Array,  # (N, cap)
+    nbr_dists: jax.Array,  # (N, cap) distance co-array
+    nodes: jax.Array,  # (B,) node ids being refined; pad with -2
+    ids: jax.Array,  # (B, E) refine-search results
+    dists: jax.Array,  # (B, E)
+) -> Tuple[jax.Array, jax.Array]:
+    """Union a refine search's results with the node's CURRENT neighbors
+    (insertion-time links, including the long-range ones made while the
+    graph was small, must survive re-selection), self-masked and sorted
+    ascending.  Existing-neighbor distances come from the co-array — no
+    feature gathers, one dispatch."""
+    N = neighbors.shape[0]
+    self_mask = ids == nodes[:, None]
+    ids = jnp.where(self_mask, -1, ids)
+    dists = jnp.where(self_mask, INF, dists)
+    safe = jnp.clip(nodes, 0, N - 1)
+    ex = neighbors[safe]  # (B, cap)
+    ex_d = nbr_dists[safe]
+    dup = jnp.any(ex[:, :, None] == ids[:, None, :], axis=2)
+    ex_d = jnp.where(dup | (nodes[:, None] < 0) | (ex < 0), INF, ex_d)
+    ex = jnp.where(dup, -1, ex)
+    all_ids = jnp.concatenate([ids, ex], axis=1)
+    all_d = jnp.concatenate([dists, ex_d], axis=1)
+    order = jnp.argsort(all_d, axis=1)
+    return (
+        jnp.take_along_axis(all_ids, order, axis=1),
+        jnp.take_along_axis(all_d, order, axis=1),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def scatter_set_rows_d(
+    neighbors: jax.Array,  # (N, cap) int32 adjacency
+    nbr_dists: jax.Array,  # (N, cap) float32 distance co-array
+    rows: jax.Array,  # (B,) int64/int32 row ids; pad with >= N (dropped)
+    ids: jax.Array,  # (B, M) new neighbor ids, -1 padded, M <= cap
+    d: jax.Array,  # (B, M) their distances to the row's own vector
+) -> Tuple[jax.Array, jax.Array]:
+    """Row replacement that keeps the distance co-array in lockstep with the
+    adjacency.  Storing d(row, neighbor) next to each edge is what makes the
+    reverse-edge pass device-resident: keep-closest pruning then needs no
+    feature gathers at all (compare reverse_merge_closest vs
+    scatter_prune_rows), the TPU answer to the reference's incremental
+    per-edge distance evaluations in mutually_connect (hnsw.hpp:597-672)."""
+    N, cap = neighbors.shape
+    B, M = ids.shape
+    if M < cap:
+        ids = jnp.concatenate([ids, jnp.full((B, cap - M), -1, ids.dtype)], axis=1)
+        d = jnp.concatenate([d, jnp.full((B, cap - M), INF, d.dtype)], axis=1)
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def scatter_set_rows_packed_d(
+    neighbors: jax.Array,  # (N, cap)
+    nbr_dists: jax.Array,  # (N, cap)
+    nbr_desc: jax.Array,  # (N, cap, S) uint8 packed neighbor codes
+    codes: jax.Array,  # (N, S)
+    rows: jax.Array,  # (B,)
+    ids: jax.Array,  # (B, M)
+    d: jax.Array,  # (B, M)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """scatter_set_rows_d + packed-descriptor maintenance in one dispatch."""
+    N, cap = neighbors.shape
+    B, M = ids.shape
+    if M < cap:
+        ids = jnp.concatenate([ids, jnp.full((B, cap - M), -1, ids.dtype)], axis=1)
+        d = jnp.concatenate([d, jnp.full((B, cap - M), INF, d.dtype)], axis=1)
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+    )
+
+
+def _reverse_merge_core(neighbors, nbr_dists, src_ids, sel_ids, sel_dists):
+    """Shared body of reverse_merge_closest{,_packed}: returns
+    (rows, merged_ids, merged_d) for a .at[rows].set scatter.
+
+    Fully device-side reverse-edge pass with keep-closest semantics.  Every
+    forward edge src -> dst from this batch's selection offers the reverse
+    edge dst -> src at the SAME distance (both metrics are symmetric), so the
+    selection output feeds the merge directly — no host round trip, no
+    feature gathers.  Arrivals per dst are capped at the cap closest: an
+    arrival ranked below cap others can never survive a keep-closest prune
+    to cap entries, so the cap is exact, and one-shot union pruning equals
+    the reference's sequential per-edge updates (hnsw.hpp:597-672)."""
+    N, cap = neighbors.shape
+    B, M = sel_ids.shape
+    E = B * M
+    dst = sel_ids.reshape(E)
+    src = jnp.broadcast_to(src_ids.astype(jnp.int32)[:, None], (B, M)).reshape(E)
+    d = sel_dists.reshape(E)
+    invalid = (dst < 0) | (src >= N) | (src < 0)
+    dst_k = jnp.where(invalid, jnp.int32(N), dst)
+    d_k = jnp.where(invalid, INF, d)
+    # group by dst, closest first; invalid edges all land in the dst=N run
+    dst_s, d_s, src_s = jax.lax.sort((dst_k, d_k, src), num_keys=2)
+    idx = jnp.arange(E, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), dst_s[1:] != dst_s[:-1]]
+    )
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, 0))
+    rank = idx - run_start
+    row_slot = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    # one table row per distinct dst; rows beyond the distinct count keep
+    # id N and are dropped by the final scatter
+    rows = (
+        jnp.full((E,), jnp.int32(N))
+        .at[jnp.where(is_start, row_slot, E)]
+        .set(dst_s, mode="drop")
+    )
+    keep = rank < cap
+    arr_src = (
+        jnp.full((E, cap), -1, jnp.int32)
+        .at[jnp.where(keep, row_slot, E), jnp.where(keep, rank, 0)]
+        .set(src_s, mode="drop")
+    )
+    arr_d = (
+        jnp.full((E, cap), INF, jnp.float32)
+        .at[jnp.where(keep, row_slot, E), jnp.where(keep, rank, 0)]
+        .set(d_s, mode="drop")
+    )
+    safe_rows = jnp.clip(rows, 0, N - 1)
+    all_ids = jnp.concatenate([neighbors[safe_rows], arr_src], axis=1)  # (E, 2cap)
+    all_d = jnp.concatenate([nbr_dists[safe_rows], arr_d], axis=1)
+    # dedup keeping the smaller distance: sort by (id, d), mask repeats
+    big = jnp.int32(2**30)
+    id_key = jnp.where(all_ids < 0, big, all_ids)
+    id_s2, d_s2 = jax.lax.sort((id_key, all_d), num_keys=2, dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((E, 1), bool), (id_s2[:, 1:] == id_s2[:, :-1]) & (id_s2[:, 1:] < big)],
+        axis=1,
+    )
+    d_m = jnp.where(dup | (id_s2 >= big), INF, d_s2)
+    id_m = jnp.where(dup, big, id_s2)
+    merged_d, merged_id = jax.lax.sort((d_m, id_m), num_keys=1, dimension=1)
+    merged_id = jnp.where(merged_d < INF * 0.5, merged_id, -1)
+    return rows, merged_id[:, :cap], merged_d[:, :cap]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def reverse_merge_closest(
+    neighbors: jax.Array,  # (N, cap)
+    nbr_dists: jax.Array,  # (N, cap)
+    src_ids: jax.Array,  # (B,) inserted node ids; pad with >= N
+    sel_ids: jax.Array,  # (B, M) forward selections, -1 padded
+    sel_dists: jax.Array,  # (B, M)
+) -> Tuple[jax.Array, jax.Array]:
+    rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src_ids, sel_ids, sel_dists)
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def reverse_merge_closest_packed(
+    neighbors: jax.Array,  # (N, cap)
+    nbr_dists: jax.Array,  # (N, cap)
+    nbr_desc: jax.Array,  # (N, cap, S)
+    codes: jax.Array,  # (N, S)
+    src_ids: jax.Array,  # (B,)
+    sel_ids: jax.Array,  # (B, M)
+    sel_dists: jax.Array,  # (B, M)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """reverse_merge_closest + packed-descriptor maintenance, one dispatch."""
+    rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src_ids, sel_ids, sel_dists)
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("B",))
+def reverse_merge_chunk(
+    neighbors: jax.Array,
+    nbr_dists: jax.Array,
+    new_ids: jax.Array,  # (N_CEIL, M) whole refine forward-edge table
+    new_d: jax.Array,  # (N_CEIL, M)
+    s0: jax.Array,  # scalar chunk offset (traced -> one compile for all chunks)
+    *,
+    B: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Refine-rebuild reverse merge for rows [s0, s0+B): the chunk slice and
+    its source ids are computed in-kernel, so the rebuild loop uploads one
+    scalar per chunk instead of slicing on the host."""
+    sel = jax.lax.dynamic_slice_in_dim(new_ids, s0, B)
+    sel_d = jax.lax.dynamic_slice_in_dim(new_d, s0, B)
+    src = s0 + jnp.arange(B, dtype=jnp.int32)
+    rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src, sel, sel_d)
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("B",))
+def reverse_merge_chunk_packed(
+    neighbors: jax.Array,
+    nbr_dists: jax.Array,
+    nbr_desc: jax.Array,
+    codes: jax.Array,
+    new_ids: jax.Array,
+    new_d: jax.Array,
+    s0: jax.Array,
+    *,
+    B: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    sel = jax.lax.dynamic_slice_in_dim(new_ids, s0, B)
+    sel_d = jax.lax.dynamic_slice_in_dim(new_d, s0, B)
+    src = s0 + jnp.arange(B, dtype=jnp.int32)
+    rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src, sel, sel_d)
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    return (
+        neighbors.at[rows, :].set(ids, mode="drop"),
+        nbr_dists.at[rows, :].set(d, mode="drop"),
+        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(0,))
@@ -694,7 +926,7 @@ def scatter_prune_rows_alg4(
         else:
             nn = jnp.sum(F * F, axis=-1)
             cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
-    picked = batch_select_neighbors(cand, d, cross, M=cap)
+    picked, _ = batch_select_neighbors(cand, d, cross, M=cap)
     return neighbors.at[rows, :].set(picked, mode="drop")
 
 
@@ -790,7 +1022,7 @@ def scatter_prune_rows_packed(
         else:
             nn = jnp.sum(F * F, axis=-1)
             cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
-        pruned = batch_select_neighbors(cand, d, cross, M=cap)
+        pruned, _ = batch_select_neighbors(cand, d, cross, M=cap)
     else:
         neg, pos = jax.lax.top_k(-d, cap)
         pruned = jnp.where(-neg < INF * 0.5, jnp.take_along_axis(cand, pos, axis=1), -1)

@@ -52,6 +52,16 @@ def _scatter_set_rows(arr, rows, vals):
     return arr.at[rows, :].set(vals, mode="drop")
 
 
+@jax.jit
+def _gather_rows(feats, idx):
+    """Jitted row gather (works for dense arrays and SparseFeats pytrees).
+
+    The eager ``feats[idx]`` in the build's per-batch search path dispatches
+    through apply_primitive every call (~10-25 ms host each over the tunnel);
+    a jitted gather is one cached dispatch."""
+    return feats[idx]
+
+
 def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
     """Group (src -> dst) edges by destination node.
 
@@ -193,12 +203,20 @@ class HNSW(pecos_tpu.BaseClass):
         compiles a fixed handful of kernels regardless of N.
         """
         from .graph import (
+            INF,
             batch_search_level_pq_packed,
             batch_select_from_search,
             exact_rescore,
             pack_rows_codes,
+            refine_union_candidates,
+            reverse_merge_chunk,
+            reverse_merge_chunk_packed,
+            reverse_merge_closest,
+            reverse_merge_closest_packed,
             scatter_prune_rows_packed,
+            scatter_set_rows_d,
             scatter_set_rows_packed,
+            scatter_set_rows_packed_d,
         )
 
         params = cls.TrainParams.from_dict(train_params)
@@ -237,6 +255,19 @@ class HNSW(pecos_tpu.BaseClass):
             feats_d = feats_d.astype(jnp.bfloat16)
         dev_n0 = jnp.full((N, maxM0), -1, jnp.int32)
         dev_up = [jnp.full((N, maxM), -1, jnp.int32) for _ in range(max_level)]
+        # Fast path (keep-closest reverse pruning, the default): a float32
+        # distance co-array rides along with every adjacency array, making
+        # the whole reverse-edge pass device-resident (reverse_merge_closest)
+        # — no per-batch host fetch, no edge grouping, no feature gathers.
+        # reverse_alg4=True keeps the original host-grouped scatter-prune
+        # path (the diversity heuristic needs candidate cross-distances).
+        fast = not params.reverse_alg4
+        dev_d0 = jnp.full((N, maxM0), INF, jnp.float32) if fast else None
+        dev_up_d = (
+            [jnp.full((N, maxM), INF, jnp.float32) for _ in range(max_level)]
+            if fast
+            else [None] * max_level
+        )
 
         # -- PQ-guided level-0 build search (see TrainParams.build_pq) --
         S_pq = min(params.build_pq_subspaces, max(1, D // 2))
@@ -290,7 +321,7 @@ class HNSW(pecos_tpu.BaseClass):
             30x wasted work.  Returns (Bq, ef) ids/dists."""
             Bq = B if Bq is None else Bq
             pad = np.zeros(Bq - len(q_idx), np.int64)
-            Q = feats_d[jnp.asarray(np.concatenate([q_idx, pad]))]
+            Q = _gather_rows(feats_d, jnp.asarray(np.concatenate([q_idx, pad])))
             cur = jnp.full((Bq,), entry_, jnp.int32)
             for l in range(max_level, at_level, -1):
                 g = DeviceGraph(feats_d, dev_up[l - 1], metric)
@@ -369,29 +400,47 @@ class HNSW(pecos_tpu.BaseClass):
             batch = np.arange(inserted, min(inserted + bs, N))
             b = len(batch)
             ids_d, dists_d = search_batch(batch, entry, efC)
-            sel_all = np.asarray(
-                batch_select_from_search(feats_d, ids_d, dists_d, M=M, metric=metric)
-            )[:b]
+            sel_ids, sel_d = batch_select_from_search(
+                feats_d, ids_d, dists_d, M=M, metric=metric
+            )
             # forward + reverse edges at level 0
             batch_pad = np.full(B, N, np.int64)
             batch_pad[:b] = batch
-            fwd0 = np.full((B, maxM0), -1, np.int32)
-            fwd0[:b] = pad_rows(sel_all, maxM0)
-            if use_pq_build:
-                dev_n0, nbr_desc = scatter_set_rows_packed(
-                    dev_n0, nbr_desc, codes_d, jnp.asarray(batch_pad), jnp.asarray(fwd0)
-                )
+            rows_dev = jnp.asarray(batch_pad)
+            if fast:
+                # fully device-resident: set forward rows, then merge the
+                # reverse edges — no host fetch of the selection at all
+                if use_pq_build:
+                    dev_n0, dev_d0, nbr_desc = scatter_set_rows_packed_d(
+                        dev_n0, dev_d0, nbr_desc, codes_d, rows_dev, sel_ids, sel_d
+                    )
+                    dev_n0, dev_d0, nbr_desc = reverse_merge_closest_packed(
+                        dev_n0, dev_d0, nbr_desc, codes_d, rows_dev, sel_ids, sel_d
+                    )
+                else:
+                    dev_n0, dev_d0 = scatter_set_rows_d(
+                        dev_n0, dev_d0, rows_dev, sel_ids, sel_d
+                    )
+                    dev_n0, dev_d0 = reverse_merge_closest(
+                        dev_n0, dev_d0, rows_dev, sel_ids, sel_d
+                    )
             else:
-                dev_n0 = _scatter_set_rows(
-                    dev_n0, jnp.asarray(batch_pad), jnp.asarray(fwd0)
-                )
-            valid = sel_all >= 0
-            dst = sel_all[valid].astype(np.int64)
-            src = np.repeat(batch, valid.sum(axis=1))
-            if len(dst):
-                dev_n0, nbr_desc = apply_reverse(
-                    dev_n0, nbr_desc, dst, src, params.reverse_alg4
-                )
+                sel_all = np.asarray(sel_ids)[:b]
+                fwd0 = np.full((B, maxM0), -1, np.int32)
+                fwd0[:b] = pad_rows(sel_all, maxM0)
+                if use_pq_build:
+                    dev_n0, nbr_desc = scatter_set_rows_packed(
+                        dev_n0, nbr_desc, codes_d, rows_dev, jnp.asarray(fwd0)
+                    )
+                else:
+                    dev_n0 = _scatter_set_rows(dev_n0, rows_dev, jnp.asarray(fwd0))
+                valid = sel_all >= 0
+                dst = sel_all[valid].astype(np.int64)
+                src = np.repeat(batch, valid.sum(axis=1))
+                if len(dst):
+                    dev_n0, nbr_desc = apply_reverse(
+                        dev_n0, nbr_desc, dst, src, params.reverse_alg4
+                    )
             # upper levels: search AT each level for that level's candidates
             # and connect there — the reference inserts per level lc..0 with
             # per-level searches (hnsw.hpp:747-783); deriving upper edges from
@@ -403,18 +452,28 @@ class HNSW(pecos_tpu.BaseClass):
                     continue
                 B_up = bucket_pow2(len(pts), 32, B)
                 ids_l, dists_l = search_batch(pts, entry, efC, at_level=l, Bq=B_up)
-                sel_l = np.asarray(
-                    batch_select_from_search(feats_d, ids_l, dists_l, M=M, metric=metric)
-                )[: len(pts)]
+                sel_l, sel_dl = batch_select_from_search(
+                    feats_d, ids_l, dists_l, M=M, metric=metric
+                )
                 rows = np.full(B_up, N, np.int64)
                 rows[: len(pts)] = pts
+                rows_l = jnp.asarray(rows)
+                if fast:
+                    dev_up[l - 1], dev_up_d[l - 1] = scatter_set_rows_d(
+                        dev_up[l - 1], dev_up_d[l - 1], rows_l, sel_l, sel_dl
+                    )
+                    dev_up[l - 1], dev_up_d[l - 1] = reverse_merge_closest(
+                        dev_up[l - 1], dev_up_d[l - 1], rows_l, sel_l, sel_dl
+                    )
+                    continue
+                sel_np = np.asarray(sel_l)[: len(pts)]
                 fwd_l = np.full((B_up, maxM), -1, np.int32)
-                fwd_l[: len(pts)] = pad_rows(sel_l, maxM)
+                fwd_l[: len(pts)] = pad_rows(sel_np, maxM)
                 dev_up[l - 1] = _scatter_set_rows(
-                    dev_up[l - 1], jnp.asarray(rows), jnp.asarray(fwd_l)
+                    dev_up[l - 1], rows_l, jnp.asarray(fwd_l)
                 )
-                validl = sel_l >= 0
-                dstl = sel_l[validl].astype(np.int64)
+                validl = sel_np >= 0
+                dstl = sel_np[validl].astype(np.int64)
                 srcl = np.repeat(pts, validl.sum(axis=1))
                 if len(dstl):
                     dev_up[l - 1], _ = apply_reverse(
@@ -429,52 +488,89 @@ class HNSW(pecos_tpu.BaseClass):
                 LOGGER.info("hnsw build: %d/%d inserted", inserted, N)
 
         # ---- phase 2: refinement passes over the finished graph ----
+        N_CEIL = -(-N // B) * B  # fast path accumulators padded to whole batches
         for it in range(max(0, params.refine_iters)):
             LOGGER.info("hnsw refine pass %d/%d", it + 1, params.refine_iters)
-            new_fwd = np.full((N, M), -1, np.int32)
+            if fast:
+                new_ids = jnp.full((N_CEIL, M), -1, jnp.int32)
+                new_d = jnp.full((N_CEIL, M), INF, jnp.float32)
+            else:
+                new_fwd = np.full((N, M), -1, np.int32)
             for s0 in range(0, N, B):
                 nodes = np.arange(s0, min(s0 + B, N))
                 b = len(nodes)
                 ids_d, dists_d = search_batch(nodes, entry, efC)
-                # drop self-matches
+                # drop self-matches, union the node's CURRENT neighbors into
+                # the candidate set: insertion-time links (including the
+                # long-range ones made while the graph was small) must
+                # survive re-selection
                 nodes_pad = np.full(B, -2, np.int64)
                 nodes_pad[:b] = nodes
                 nodes_d = jnp.asarray(nodes_pad)
-                self_mask = ids_d == nodes_d[:, None]
-                INF = jnp.float32(3.4e38)
-                ids_d = jnp.where(self_mask, -1, ids_d)
-                dists_d = jnp.where(self_mask, INF, dists_d)
-                # union the node's CURRENT neighbors into the candidate set:
-                # insertion-time links (including the long-range ones made
-                # while the graph was small) must survive re-selection
-                safe_nodes = jnp.clip(nodes_d, 0, N - 1)
-                ex = dev_n0[safe_nodes]  # (B, maxM0)
-                Qn = feats_d[safe_nodes]
-                ex_d = jnp.where(ex >= 0, gather_dist(Qn, feats_d, ex, metric), INF)
-                dup = jnp.any(ex[:, :, None] == ids_d[:, None, :], axis=2)
-                ex_d = jnp.where(dup | (nodes_d[:, None] < 0), INF, ex_d)
-                ex = jnp.where(dup, -1, ex)
-                all_ids = jnp.concatenate([ids_d, ex], axis=1)
-                all_d = jnp.concatenate([dists_d, ex_d], axis=1)
-                order = jnp.argsort(all_d, axis=1)
-                all_ids = jnp.take_along_axis(all_ids, order, axis=1)
-                all_d = jnp.take_along_axis(all_d, order, axis=1)
-                sel = np.asarray(
-                    batch_select_from_search(feats_d, all_ids, all_d, M=M, metric=metric)
-                )[:b]
-                new_fwd[nodes] = sel
+                if fast:
+                    all_ids, all_d = refine_union_candidates(
+                        dev_n0, dev_d0, nodes_d, ids_d, dists_d
+                    )
+                else:
+                    self_mask = ids_d == nodes_d[:, None]
+                    INF_ = jnp.float32(3.4e38)
+                    ids_d = jnp.where(self_mask, -1, ids_d)
+                    dists_d = jnp.where(self_mask, INF_, dists_d)
+                    safe_nodes = jnp.clip(nodes_d, 0, N - 1)
+                    ex = dev_n0[safe_nodes]  # (B, maxM0)
+                    Qn = feats_d[safe_nodes]
+                    ex_d = jnp.where(ex >= 0, gather_dist(Qn, feats_d, ex, metric), INF_)
+                    dup = jnp.any(ex[:, :, None] == ids_d[:, None, :], axis=2)
+                    ex_d = jnp.where(dup | (nodes_d[:, None] < 0), INF_, ex_d)
+                    ex = jnp.where(dup, -1, ex)
+                    all_ids = jnp.concatenate([ids_d, ex], axis=1)
+                    all_d = jnp.concatenate([dists_d, ex_d], axis=1)
+                    order = jnp.argsort(all_d, axis=1)
+                    all_ids = jnp.take_along_axis(all_ids, order, axis=1)
+                    all_d = jnp.take_along_axis(all_d, order, axis=1)
+                sel, sel_d = batch_select_from_search(
+                    feats_d, all_ids, all_d, M=M, metric=metric
+                )
+                if fast:
+                    rows_r = np.full(B, N_CEIL, np.int64)
+                    rows_r[:b] = nodes
+                    new_ids, new_d = scatter_set_rows_d(
+                        new_ids, new_d, jnp.asarray(rows_r), sel, sel_d
+                    )
+                else:
+                    new_fwd[nodes] = np.asarray(sel)[:b]
             # rebuild L0: forward edges, then distance-pruned reverse edges
-            n0_host = np.full((N, maxM0), -1, np.int32)
-            n0_host[:, :M] = new_fwd
-            dev_n0 = jnp.asarray(n0_host)
-            if use_pq_build:
-                nbr_desc = pack_rows_codes(codes_d, dev_n0)
-            valid = new_fwd >= 0
-            dst = new_fwd[valid].astype(np.int64)
-            src = np.repeat(np.arange(N, dtype=np.int64), valid.sum(axis=1))
-            dev_n0, nbr_desc = apply_reverse(
-                dev_n0, nbr_desc, dst, src, params.reverse_alg4
-            )
+            if fast:
+                dev_n0 = jnp.concatenate(
+                    [new_ids[:N], jnp.full((N, maxM0 - M), -1, jnp.int32)], axis=1
+                )
+                dev_d0 = jnp.concatenate(
+                    [new_d[:N], jnp.full((N, maxM0 - M), INF, jnp.float32)], axis=1
+                )
+                if use_pq_build:
+                    nbr_desc = pack_rows_codes(codes_d, dev_n0)
+                for s0 in range(0, N_CEIL, B):
+                    s0_dev = jnp.int32(s0)
+                    if use_pq_build:
+                        dev_n0, dev_d0, nbr_desc = reverse_merge_chunk_packed(
+                            dev_n0, dev_d0, nbr_desc, codes_d, new_ids, new_d, s0_dev, B=B
+                        )
+                    else:
+                        dev_n0, dev_d0 = reverse_merge_chunk(
+                            dev_n0, dev_d0, new_ids, new_d, s0_dev, B=B
+                        )
+            else:
+                n0_host = np.full((N, maxM0), -1, np.int32)
+                n0_host[:, :M] = new_fwd
+                dev_n0 = jnp.asarray(n0_host)
+                if use_pq_build:
+                    nbr_desc = pack_rows_codes(codes_d, dev_n0)
+                valid = new_fwd >= 0
+                dst = new_fwd[valid].astype(np.int64)
+                src = np.repeat(np.arange(N, dtype=np.int64), valid.sum(axis=1))
+                dev_n0, nbr_desc = apply_reverse(
+                    dev_n0, nbr_desc, dst, src, params.reverse_alg4
+                )
 
         neighbors0 = np.asarray(dev_n0)
         uppers = (
