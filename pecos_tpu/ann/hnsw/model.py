@@ -93,7 +93,8 @@ def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
 
 class HNSW(pecos_tpu.BaseClass):
     # bytes of HBM the PQ-guided build's packed descriptor array may claim
-    BUILD_PQ_HBM_BUDGET = 6 << 30
+    # (must leave room for feats + co-arrays + a transient repack copy)
+    BUILD_PQ_HBM_BUDGET = 3 << 30
 
     @dc.dataclass
     class TrainParams(pecos_tpu.BaseParams):
@@ -270,7 +271,15 @@ class HNSW(pecos_tpu.BaseClass):
         )
 
         # -- PQ-guided level-0 build search (see TrainParams.build_pq) --
-        S_pq = min(params.build_pq_subspaces, max(1, D // 2))
+        # Auto-fit the subspace count to the descriptor HBM budget: the
+        # packed array costs N*maxM0*S bytes and must coexist with feats,
+        # both co-arrays, the upper levels, and a transient second copy
+        # during the refine repack — S shrinks before the feature is
+        # disabled (coarser guide codes only perturb routing; the candidate
+        # list is exact-rescored either way).
+        S_req = min(params.build_pq_subspaces, max(1, D // 2))
+        S_fit = int(cls.BUILD_PQ_HBM_BUDGET // max(1, N * maxM0))
+        S_pq = max(1, min(S_req, S_fit))
         use_pq_build = (
             not use_sparse
             and params.build_pq != "false"
@@ -278,7 +287,7 @@ class HNSW(pecos_tpu.BaseClass):
                 params.build_pq == "true"
                 or (
                     N >= params.build_pq_min_points
-                    and N * maxM0 * S_pq <= cls.BUILD_PQ_HBM_BUDGET
+                    and S_pq >= 16
                     and D >= 16
                 )
             )
@@ -288,7 +297,9 @@ class HNSW(pecos_tpu.BaseClass):
             from .pq import build_lut_device, train_pq4
 
             t_pq = time.time()
-            pq = train_pq4(feats, num_subspaces=S_pq, iters=10, seed=params.seed)
+            pq = train_pq4(
+                feats, num_subspaces=S_pq, iters=10, seed=params.seed, feats_dev=feats_d
+            )
             codes_d = jnp.asarray(pq.codes)
             codebooks_d = jnp.asarray(pq.codebooks)
             nbr_desc = jnp.zeros((N, maxM0, S_pq), jnp.uint8)
@@ -548,6 +559,7 @@ class HNSW(pecos_tpu.BaseClass):
                     [new_d[:N], jnp.full((N, maxM0 - M), INF, jnp.float32)], axis=1
                 )
                 if use_pq_build:
+                    nbr_desc = None  # free the old 4-GB-class array first
                     nbr_desc = pack_rows_codes(codes_d, dev_n0)
                 for s0 in range(0, N_CEIL, B):
                     s0_dev = jnp.int32(s0)

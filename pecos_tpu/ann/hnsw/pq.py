@@ -70,25 +70,53 @@ def _kmeans16(Xs: jax.Array, key: jax.Array, iters: int) -> jax.Array:
     return jax.lax.fori_loop(0, iters, body, cent)
 
 
+@functools.partial(jax.jit, static_argnames=("S", "d_sub", "chunk"))
+def _encode_chunk_device(feats, cent, s0, *, S, d_sub, chunk):
+    """Encode rows [s0, s0+chunk) of a device feature array: nearest of 16
+    centroids per subspace, on the MXU.  dynamic_slice clamps at the edge
+    (the caller re-aims the final partial chunk)."""
+    blk = jax.lax.dynamic_slice_in_dim(feats, s0, chunk).astype(jnp.float32)
+    B, D = blk.shape
+    pad = S * d_sub - D
+    if pad:
+        blk = jnp.concatenate([blk, jnp.zeros((B, pad), jnp.float32)], axis=1)
+    Xs = blk.reshape(B, S, d_sub)
+    d = (
+        jnp.sum(Xs * Xs, axis=-1, keepdims=True)
+        - 2.0
+        * jnp.einsum(
+            "bsd,skd->bsk", Xs, cent, preferred_element_type=jnp.float32, precision="highest"
+        )
+        + jnp.sum(cent * cent, axis=-1)[None, :, :]
+    )
+    return jnp.argmin(d, axis=-1).astype(jnp.uint8)
+
+
 def train_pq4(
     X: np.ndarray,
     num_subspaces: int = 64,
     iters: int = 10,
     seed: int = 0,
     max_train_points: int = 131072,
+    feats_dev=None,
 ) -> ProductQuantizer4Bits:
     """Train per-subspace 16-centroid codebooks and encode all points.
 
     Codebooks train on at most ``max_train_points`` sampled rows: 16
     centroids need nowhere near the full corpus, and the vmapped-over-
     subspaces k-means would otherwise hold (S, N, d_sub) intermediates —
-    32 GB at SIFT-1M scale (observed OOM on a 16 GB chip)."""
+    32 GB at SIFT-1M scale (observed OOM on a 16 GB chip).
+
+    When the caller already holds the features on device (``feats_dev``,
+    e.g. the HNSW build), encoding runs there in fixed-shape chunks — the
+    per-subspace host loop costs ~30 s at 1M points, the MXU path ~1 s."""
     D = X.shape[1]
+    N = X.shape[0]
     Xp = _pad_dim(np.asarray(X, np.float32), num_subspaces)
     d_sub = Xp.shape[1] // num_subspaces
-    Xs = Xp.reshape(X.shape[0], num_subspaces, d_sub)
-    if X.shape[0] > max_train_points:
-        sel = np.random.default_rng(seed).choice(X.shape[0], max_train_points, replace=False)
+    Xs = Xp.reshape(N, num_subspaces, d_sub)
+    if N > max_train_points:
+        sel = np.random.default_rng(seed).choice(N, max_train_points, replace=False)
         X_train = Xs[sel]
     else:
         X_train = Xs
@@ -97,14 +125,24 @@ def train_pq4(
     cent = jax.vmap(lambda xs, k: _kmeans16(xs, k, iters), in_axes=(1, 0))(
         jnp.asarray(X_train), keys
     )  # (S, 16, d_sub)
+    codes = np.empty((N, num_subspaces), np.uint8)
+    if feats_dev is not None and getattr(feats_dev, "ndim", 0) == 2:
+        chunk = min(N, 1 << 17)
+        starts = list(range(0, max(N - chunk, 0) + 1, chunk))
+        if starts[-1] + chunk < N:
+            starts.append(N - chunk)  # re-aimed final partial chunk
+        for s0 in starts:
+            out = _encode_chunk_device(
+                feats_dev, cent, jnp.int32(s0), S=num_subspaces, d_sub=d_sub, chunk=chunk
+            )
+            codes[s0 : s0 + chunk] = np.asarray(out)
+        cent = np.asarray(cent)
+        return ProductQuantizer4Bits(codebooks=cent, codes=codes, dim=D)
     cent = np.asarray(cent)
-    # encode
-    codes = np.empty((X.shape[0], num_subspaces), np.uint8)
-    Xs_np = np.asarray(Xs)
     for s in range(num_subspaces):
         d = (
-            (Xs_np[:, s, :] ** 2).sum(1, keepdims=True)
-            - 2.0 * Xs_np[:, s, :] @ cent[s].T
+            (Xs[:, s, :] ** 2).sum(1, keepdims=True)
+            - 2.0 * Xs[:, s, :] @ cent[s].T
             + (cent[s] ** 2).sum(1)[None, :]
         )
         codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)

@@ -541,6 +541,14 @@ class _TfidfBase:
             except Exception:
                 pass
 
+    def __getstate__(self):
+        # the native lookup table is a ctypes handle (unpicklable); it and
+        # the derived caches rebuild lazily on first predict after unpickle
+        state = dict(self.__dict__)
+        for k in ("_lookup_handle", "_lookup_cols_arr"):
+            state.pop(k, None)
+        return state
+
     def predict(self, corpus: Sequence[str]) -> smat.csr_matrix:
         p = self.params
         lo, hi = p.ngram_range

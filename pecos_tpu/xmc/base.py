@@ -436,36 +436,40 @@ class MLModel(pecos_tpu.BaseClass):
             cost[y_pos_local[sl], y_j[sl]] = y_cost[sl]
             return y, cost
 
-        jobs = []  # (k, F_slice, xl_ids, xl_vals, y, cost)
+        def _ranges(starts, ends):
+            """Concatenate [starts_i, ends_i) index ranges, vectorized.
+
+            Returns (which_range, flat_index) pairs so a chunk of clusters'
+            per-entry slices can be gathered with ONE fancy index instead of
+            a per-cluster Python loop (at Wiki-500K geometry that loop costs
+            tens of seconds of host time per layer)."""
+            lens = (ends - starts).astype(np.int64)
+            total = int(lens.sum())
+            if total == 0:
+                z = np.zeros(0, np.int64)
+                return z, z
+            rep = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+            base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            within = np.arange(total, dtype=np.int64) - np.repeat(base, lens)
+            return rep, starts[rep] + within
+
+        nk_all = np.diff(c_indptr)
         big_jobs = []  # (k, gx_ids, gx_vals, y, cost)
-        for k in np.nonzero(nonempty)[0]:
+        for k in np.nonzero(big_mask)[0]:
             P = int(P_arr[k])
             xcap = max(int(xcap_arr[k]), 1)
             sl_e = slice(xent_bounds[k], xent_bounds[k + 1])
             rl, of = rows_local[sl_e], offs[sl_e]
             nnz_seg = row_nnz[act_indptr[k] : act_indptr[k + 1]]
-            if big_mask[k]:
-                gx_ids = np.full((P, xcap), Db, np.int32)
-                gx_vals = np.zeros((P, xcap), np.float32)
-                gx_ids[rl, of] = XA.indices[sl_e]
-                gx_vals[rl, of] = XA.data[sl_e]
-                if bias > 0:
-                    gx_ids[np.arange(P), nnz_seg] = D
-                    gx_vals[np.arange(P), nnz_seg] = bias
-                y, cost = build_y_cost(k, P, len(children[k]))
-                big_jobs.append((k, gx_ids, gx_vals, y, cost))
-                continue
-            Fl = int(F_len[k])
-            xl_ids = np.full((P, xcap), Fl, np.int32)  # pad -> F2 slot later
-            xl_vals = np.zeros((P, xcap), np.float32)
-            xl_ids[rl, of] = f_local_all[sl_e]
-            xl_vals[rl, of] = XA.data[sl_e]
+            gx_ids = np.full((P, xcap), Db, np.int32)
+            gx_vals = np.zeros((P, xcap), np.float32)
+            gx_ids[rl, of] = XA.indices[sl_e]
+            gx_vals[rl, of] = XA.data[sl_e]
             if bias > 0:
-                # bias feature D is the largest key in the union -> always last
-                xl_ids[np.arange(P), nnz_seg] = Fl - 1
-                xl_vals[np.arange(P), nnz_seg] = bias
-            y, cost = build_y_cost(k, P, ns_max)
-            jobs.append((int(k), xl_ids, xl_vals, y, cost))
+                gx_ids[np.arange(P), nnz_seg] = D
+                gx_vals[np.arange(P), nnz_seg] = bias
+            y, cost = build_y_cost(k, P, len(children[k]))
+            big_jobs.append((k, gx_ids, gx_vals, y, cost))
 
         def prune_block(Wb: np.ndarray) -> np.ndarray:
             """Vectorized threshold + per-column top-|w| prune.
@@ -484,18 +488,35 @@ class MLModel(pecos_tpu.BaseClass):
                 Wb = np.where(mask, Wb, 0.0)
             return Wb
 
-        # ---- bucket by padded shapes ---------------------------------------
+        # ---- bucket by padded shapes, assemble chunks with global scatters --
         # (4x-coarser quantization was measured: no device-time win, more
         # host padding cost — pow2 kept)
-        buckets: dict = {}
-        for job in jobs:
-            k, xl_ids, xl_vals, y, cost = job
-            key = (pow2(xl_ids.shape[0]), pow2(int(F_len[k]), lo=128), pow2(xl_ids.shape[1]))
-            buckets.setdefault(key, []).append(job)
+        small_ids = np.nonzero(small_mask)[0]
+        F2_arr = np.maximum(
+            128, 2 ** np.ceil(np.log2(np.maximum(F_len, 1))).astype(np.int64)
+        )
+        pw2_xc = np.maximum(
+            8, 2 ** np.ceil(np.log2(np.maximum(xcap_arr, 1))).astype(np.int64)
+        )
+        if len(small_ids):
+            order = np.lexsort(
+                (pw2_xc[small_ids], F2_arr[small_ids], pw2_P[small_ids])
+            )
+            small_ids = small_ids[order]
+            keys = np.stack(
+                [pw2_P[small_ids], F2_arr[small_ids], pw2_xc[small_ids]], axis=1
+            )
+            new_bucket = np.ones(len(small_ids), bool)
+            new_bucket[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+            bucket_starts = np.nonzero(new_bucket)[0]
+            bucket_ends = np.append(bucket_starts[1:], len(small_ids))
+        else:
+            bucket_starts = bucket_ends = np.zeros(0, np.int64)
 
         W_rows: List[np.ndarray] = []
         W_cols: List[np.ndarray] = []
         W_vals: List[np.ndarray] = []
+        C_idx_all = C.indices.astype(np.int64)
 
         # Bounded dispatch pipeline: the solver chunks are independent, so a
         # synchronous device_get per chunk would serialize host padding,
@@ -512,22 +533,40 @@ class MLModel(pecos_tpu.BaseClass):
                 finish, dev = pending.popleft()
                 finish(np.array(jax.device_get(dev)))
 
-        for (P2, F2, xc2), bjobs in buckets.items():
+        for b0, b1 in zip(bucket_starts, bucket_ends):
+            P2 = int(pw2_P[small_ids[b0]])
+            F2 = int(F2_arr[small_ids[b0]])
+            xc2 = int(pw2_xc[small_ids[b0]])
             # device chunk size bounded by local-dense memory P2*F2*Cb
             cb = max(1, (1 << 24) // (P2 * F2))
-            for s in range(0, len(bjobs), cb):
-                chunk = bjobs[s : s + cb]
-                Cb = len(chunk)
+            for s in range(b0, b1, cb):
+                ks = small_ids[s : min(s + cb, b1)]
+                Cb = len(ks)
                 ids = np.full((Cb, P2, xc2), F2, np.int32)
                 vals = np.zeros((Cb, P2, xc2), np.float32)
-                yb = np.ones((Cb, P2, ns_max), np.float32)
-                cb_ = np.zeros((Cb, P2, ns_max), np.float32)
-                for i, (k, xi, xv, yy, cc) in enumerate(chunk):
-                    P, xc = xi.shape
-                    ids[i, :P, :xc] = np.where(xi == F_len[k], F2, xi)
-                    vals[i, :P, :xc] = xv
-                    yb[i, :P] = yy
-                    cb_[i, :P] = cc
+                # X entries: one fancy-index scatter for the whole chunk
+                rep_e, e_idx = _ranges(xent_bounds[ks], xent_bounds[ks + 1])
+                ids[rep_e, rows_local[e_idx], offs[e_idx]] = f_local_all[e_idx]
+                vals[rep_e, rows_local[e_idx], offs[e_idx]] = XA.data[e_idx]
+                # active slots (cluster-position, local row) for bias/y/cost
+                rep_a, a_idx = _ranges(act_indptr[ks], act_indptr[ks + 1])
+                p_local = a_idx - act_indptr[ks][rep_a]
+                if bias > 0:
+                    # bias feature is the largest key in the union -> last slot
+                    ids[rep_a, p_local, row_nnz[a_idx]] = (F_len[ks] - 1)[rep_a]
+                    vals[rep_a, p_local, row_nnz[a_idx]] = bias
+                nk = nk_all[ks]
+                act_row = np.zeros((Cb, P2), bool)
+                act_row[rep_a, p_local] = True
+                inM = np.zeros((Cb, P2), bool)
+                inM[rep_a, p_local] = in_M_flat[a_idx]
+                yb = np.empty((Cb, P2, ns_max), np.float32)
+                yb[:] = np.where(act_row, np.float32(-1.0), np.float32(1.0))[:, :, None]
+                col_ok = np.arange(ns_max)[None, None, :] < nk[:, None, None]
+                cb_ = np.where(col_ok & inM[:, :, None], Cn, np.float32(0.0))
+                rep_y, y_idx = _ranges(y_bounds[ks], y_bounds[ks + 1])
+                yb[rep_y, y_pos_local[y_idx], y_j[y_idx]] = 1.0
+                cb_[rep_y, y_pos_local[y_idx], y_j[y_idx]] = y_cost[y_idx]
                 Wl_dev = solvers.solve_cluster_bucket(
                     jnp.asarray(ids),
                     jnp.asarray(vals),
@@ -540,16 +579,15 @@ class MLModel(pecos_tpu.BaseClass):
                     cg_max=train_params.cg_max_iter,
                 )
 
-                def finish_bucket(Wl, chunk=chunk):
+                def finish_bucket(Wl, ks=ks, nk=nk):
                     Wl = prune_block(Wl)  # (Cb, F2, ns_max)
-                    for i, (k, xi, xv, yy, cc) in enumerate(chunk):
-                        ch = children[k]
-                        Fk = F_feat[F_bounds[k] : F_bounds[k + 1]]
-                        Wi = Wl[i, : len(Fk), : len(ch)]
-                        f_idx, j_idx = np.nonzero(Wi)
-                        W_rows.append(Fk[f_idx])
-                        W_cols.append(ch[j_idx].astype(np.int64))
-                        W_vals.append(Wi[f_idx, j_idx].astype(np.float32))
+                    ci, fi, ji = np.nonzero(Wl)
+                    keep = (fi < F_len[ks][ci]) & (ji < nk[ci])
+                    ci, fi, ji = ci[keep], fi[keep], ji[keep]
+                    kk = ks[ci]
+                    W_rows.append(F_feat[F_bounds[kk] + fi])
+                    W_cols.append(C_idx_all[c_indptr[kk] + ji])
+                    W_vals.append(Wl[ci, fi, ji].astype(np.float32))
 
                 pending.append((finish_bucket, Wl_dev))
                 retire(6)
