@@ -62,6 +62,25 @@ def _gather_rows(feats, idx):
     return feats[idx]
 
 
+def _hash_sketch(X, sk: int) -> np.ndarray:
+    """Count-sketch (feature-hashing) projection of CSR rows to sk dims.
+
+    E[<phi(x), phi(y)>] = <x, y> with variance ~ (|x|^2|y|^2 + <x,y>^2)/sk,
+    so a 128-dim sketch of unit-normalized TF-IDF rows ranks neighbors well
+    enough to GUIDE a graph walk (final candidates are exact-rescored).
+    Hash/sign come from a multiplicative mix of the column id — no (D, sk)
+    projection matrix, so D in the millions costs nothing."""
+    N = X.shape[0]
+    h = X.indices.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    bucket = ((h >> np.uint64(40)) % np.uint64(sk)).astype(np.int64)
+    sign = np.where((h >> np.uint64(13)) & np.uint64(1), np.float32(1.0), np.float32(-1.0))
+    rows = np.repeat(np.arange(N, dtype=np.int64), np.diff(X.indptr))
+    flat = np.bincount(
+        rows * sk + bucket, weights=X.data * sign, minlength=N * sk
+    )
+    return flat.reshape(N, sk).astype(np.float32)
+
+
 def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
     """Group (src -> dst) edges by destination node.
 
@@ -93,8 +112,10 @@ def _group_edges(dst: np.ndarray, src: np.ndarray, k_pad: int):
 
 class HNSW(pecos_tpu.BaseClass):
     # bytes of HBM the PQ-guided build's packed descriptor array may claim
-    # (must leave room for feats + co-arrays + a transient repack copy)
-    BUILD_PQ_HBM_BUDGET = 3 << 30
+    # (must leave room for feats + co-arrays + a transient repack copy;
+    # 4.5 GB keeps S=64 alive at N=1M/maxM0=64 — measured peak with the
+    # old copy freed before repack stays under ~10 GB on a 16 GB chip)
+    BUILD_PQ_HBM_BUDGET = 4608 << 20
 
     @dc.dataclass
     class TrainParams(pecos_tpu.BaseParams):
@@ -121,19 +142,47 @@ class HNSW(pecos_tpu.BaseClass):
         # sparse (reference data_type, pecos/ann/hnsw/model.py:130-147)
         data_type: str = "auto"  # auto | drm | csr
         sparse_dim_threshold: int = 65536
-        # PQ-guided build (dense feats): level-0 insertion/refine searches
-        # walk the graph on packed 4-bit PQ neighbor descriptors (ONE row
-        # gather per popped node, see graph.pack_neighbor_codes) and the
-        # candidate list is exact-rescored before Alg-4 selection.  In-loop
-        # search cost is per-row gather overhead (~14 ns/row), so packed
-        # descriptors cut it ~expand*M/expand = M-fold; edge selection and
-        # reverse-edge pruning stay exact, so graph quality tracks the exact
-        # build (equality is not expected — batched builds are already
-        # schedule-dependent).  auto = on when the packed array fits the HBM
-        # budget and N is large enough to amortize codebook training.
+        # PQ-guided build: level-0 insertion/refine searches walk the graph
+        # on packed 4-bit PQ neighbor descriptors (ONE row gather per popped
+        # node, see graph.pack_neighbor_codes) and the candidate list is
+        # exact-rescored before Alg-4 selection.  In-loop search cost is
+        # per-row gather overhead (~14 ns/row), so packed descriptors cut it
+        # ~expand*M/expand = M-fold; edge selection and reverse-edge pruning
+        # stay exact, so graph quality tracks the exact build (equality is
+        # not expected — batched builds are already schedule-dependent).
+        # Sparse features: PQ codes quantize a count-sketch (feature-hashing)
+        # projection of the CSR rows to build_pq_sketch_dim dims — the guide
+        # walk replaces the per-step broadcast-intersection distance kernels
+        # (the dominant sparse build cost) with LUT lookups; only the
+        # once-per-batch rescore/selection still runs sparse-exact.
+        # auto = on when the packed array fits the HBM budget and N is large
+        # enough to amortize codebook training.
         build_pq: str = "auto"  # auto | true | false
         build_pq_subspaces: int = 64
         build_pq_min_points: int = 50000
+        # count-sketch width for the sparse-feature guide (see build_pq)
+        build_pq_sketch_dim: int = 128
+        # sparse builds: compute Alg-4 selection CROSS-distances from the
+        # count-sketch (one MXU einsum) instead of the exact broadcast-
+        # intersection mask — >50% of sparse build wall-clock (measured
+        # 1.6 s/dispatch at B=2048/E=100/P=96).  MEASURED to cost recall on
+        # clustered corpora (hash-collision noise lands exactly on Alg-4's
+        # prune margins), so this is opt-in; the default fast path is
+        # select_pool truncation, which stays exact.
+        build_select_sketch: str = "false"  # true | false
+        # >0: Alg-4 selection considers only the select_pool closest
+        # candidates (exact distances).  The cross-distance work is quadratic
+        # in pool width — the dominant sparse-build cost — while selection
+        # quality only needs the pool to comfortably exceed M.  0 = full
+        # search width (reference semantics, hnsw.hpp:555-592 scans all efC).
+        select_pool: int = 0
+        # PQ-guided searches run with ef = ceil(efC * this) and the widened
+        # candidate list is exact-rescored before selection: the 4-bit guide
+        # misranks the tail of the pool, so searching a little wider recovers
+        # the true top-efC that an exact search would have found (measured at
+        # SIFT-1M: the whole recall gap between PQ-guided and exact builds
+        # lives in this tail).  Cost is ~linear in ef for the in-loop sort.
+        build_pq_ef_mult: float = 1.3
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -277,29 +326,52 @@ class HNSW(pecos_tpu.BaseClass):
         # during the refine repack — S shrinks before the feature is
         # disabled (coarser guide codes only perturb routing; the candidate
         # list is exact-rescored either way).
-        S_req = min(params.build_pq_subspaces, max(1, D // 2))
+        guide_dim = params.build_pq_sketch_dim if use_sparse else D
+        S_req = min(params.build_pq_subspaces, max(1, guide_dim // 2))
         S_fit = int(cls.BUILD_PQ_HBM_BUDGET // max(1, N * maxM0))
         S_pq = max(1, min(S_req, S_fit))
-        use_pq_build = (
-            not use_sparse
-            and params.build_pq != "false"
-            and (
-                params.build_pq == "true"
-                or (
-                    N >= params.build_pq_min_points
-                    and S_pq >= 16
-                    and D >= 16
-                )
+        # PQ-guided walk: auto enables it for dense features only — the
+        # sketch+PQ guide measurably costs recall on sparse corpora, and the
+        # sparse walk is NOT the build bottleneck (selection is; see
+        # build_select_sketch) — sparse callers may still opt in with "true"
+        use_pq_build = params.build_pq != "false" and (
+            params.build_pq == "true"
+            or (
+                not use_sparse
+                and N >= params.build_pq_min_points
+                and S_pq >= 16
+                and guide_dim >= 16
             )
         )
-        codes_d = codebooks_d = nbr_desc = None
+        # count-sketch of sparse rows: selection cross-distances (and the
+        # optional sparse PQ walk) ride a dense (N, sk) projection
+        sketch_d = None
+        if use_sparse and (
+            params.build_select_sketch == "true"
+            or (use_pq_build and params.build_pq == "true")
+        ):
+            sketch_d = jnp.asarray(_hash_sketch(feats, guide_dim))
+        sel_sketch = sketch_d if params.build_select_sketch == "true" else None
+        sel_pool = int(params.select_pool)
+        codes_d = codebooks_d = nbr_desc = guide_d = None
         if use_pq_build:
             from .pq import build_lut_device, train_pq4
 
             t_pq = time.time()
-            pq = train_pq4(
-                feats, num_subspaces=S_pq, iters=10, seed=params.seed, feats_dev=feats_d
-            )
+            if use_sparse:
+                guide_d = sketch_d
+                pq = train_pq4(
+                    np.asarray(sketch_d),
+                    num_subspaces=S_pq,
+                    iters=10,
+                    seed=params.seed,
+                    feats_dev=sketch_d,
+                )
+            else:
+                guide_d = feats_d
+                pq = train_pq4(
+                    feats, num_subspaces=S_pq, iters=10, seed=params.seed, feats_dev=feats_d
+                )
             codes_d = jnp.asarray(pq.codes)
             codebooks_d = jnp.asarray(pq.codebooks)
             nbr_desc = jnp.zeros((N, maxM0, S_pq), jnp.uint8)
@@ -332,23 +404,27 @@ class HNSW(pecos_tpu.BaseClass):
             30x wasted work.  Returns (Bq, ef) ids/dists."""
             Bq = B if Bq is None else Bq
             pad = np.zeros(Bq - len(q_idx), np.int64)
-            Q = _gather_rows(feats_d, jnp.asarray(np.concatenate([q_idx, pad])))
+            q_idx_dev = jnp.asarray(np.concatenate([q_idx, pad]))
+            Q = _gather_rows(feats_d, q_idx_dev)
             cur = jnp.full((Bq,), entry_, jnp.int32)
             for l in range(max_level, at_level, -1):
                 g = DeviceGraph(feats_d, dev_up[l - 1], metric)
                 cur = batch_greedy_descent(g, Q, cur, max_steps=64)
             if at_level == 0 and use_pq_build:
-                # walk on packed PQ descriptors, exact-rescore the result so
-                # edge selection always sees exact distances
-                lut = build_lut_device(codebooks_d, Q, metric=metric)
+                # walk on packed PQ descriptors with a widened beam (the
+                # 4-bit guide misranks the pool's tail), exact-rescore the
+                # result so edge selection always sees exact distances
+                ef_pq = int(np.ceil(ef * params.build_pq_ef_mult))
+                Qg = Q if guide_d is feats_d else _gather_rows(guide_d, q_idx_dev)
+                lut = build_lut_device(codebooks_d, Qg, metric=metric)
                 ids, _ = batch_search_level_pq_packed(
                     codes_d,
                     dev_n0,
                     nbr_desc,
                     lut,
                     cur[:, None],
-                    ef=ef,
-                    max_steps=4 * ef,
+                    ef=ef_pq,
+                    max_steps=4 * ef_pq,
                     expand=params.build_expand,
                 )
                 return exact_rescore(Q, feats_d, ids, metric=metric)
@@ -412,7 +488,8 @@ class HNSW(pecos_tpu.BaseClass):
             b = len(batch)
             ids_d, dists_d = search_batch(batch, entry, efC)
             sel_ids, sel_d = batch_select_from_search(
-                feats_d, ids_d, dists_d, M=M, metric=metric
+                feats_d, ids_d, dists_d, M=M, metric=metric, sketch=sel_sketch,
+                pool=sel_pool,
             )
             # forward + reverse edges at level 0
             batch_pad = np.full(B, N, np.int64)
@@ -464,7 +541,8 @@ class HNSW(pecos_tpu.BaseClass):
                 B_up = bucket_pow2(len(pts), 32, B)
                 ids_l, dists_l = search_batch(pts, entry, efC, at_level=l, Bq=B_up)
                 sel_l, sel_dl = batch_select_from_search(
-                    feats_d, ids_l, dists_l, M=M, metric=metric
+                    feats_d, ids_l, dists_l, M=M, metric=metric, sketch=sel_sketch,
+                    pool=sel_pool,
                 )
                 rows = np.full(B_up, N, np.int64)
                 rows[: len(pts)] = pts
@@ -540,7 +618,8 @@ class HNSW(pecos_tpu.BaseClass):
                     all_ids = jnp.take_along_axis(all_ids, order, axis=1)
                     all_d = jnp.take_along_axis(all_d, order, axis=1)
                 sel, sel_d = batch_select_from_search(
-                    feats_d, all_ids, all_d, M=M, metric=metric
+                    feats_d, all_ids, all_d, M=M, metric=metric, sketch=sel_sketch,
+                    pool=sel_pool,
                 )
                 if fast:
                     rows_r = np.full(B, N_CEIL, np.int64)
