@@ -111,6 +111,42 @@ def test_sparse_highdim_recall():
     assert rec >= 0.9, f"sparse high-dim tie-aware recall={rec}"
 
 
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sparse_lazy_select_matches_cross_matrix(metric):
+    """The lazy Alg-4 selection (candidate vs <=M already-selected rows, E*M
+    work — the reference's on-demand evaluation order, hnsw.hpp:555-592) must
+    pick exactly the same neighbors as the E^2 cross-distance-matrix variant
+    it replaced on the sparse build path."""
+    import jax.numpy as jnp
+
+    from pecos_tpu.ann.hnsw.graph import (
+        _select_sparse_lazy,
+        _sparse_cross_dots,
+        batch_select_neighbors,
+        build_sparse_feats,
+    )
+
+    X, _ = _sparse_data(n=300, nq=1, d=2000, nnz=20, seed=9)
+    feats = build_sparse_feats(X)
+    rng = np.random.default_rng(0)
+    B, E, M = 6, 48, 8
+    ids = np.stack([rng.choice(300, size=E, replace=False) for _ in range(B)])
+    dists = np.sort(rng.uniform(0.1, 2.0, size=(B, E)).astype(np.float32), axis=1)
+    ids[:, -5:] = -1  # trailing pad, as search_batch produces
+    dists[:, -5:] = 3.4e38
+    ids_d, dists_d = jnp.asarray(ids.astype(np.int32)), jnp.asarray(dists)
+    lazy_ids, lazy_d = _select_sparse_lazy(feats, ids_d, dists_d, M=M, metric=metric)
+    dots = _sparse_cross_dots(feats, ids_d)
+    if metric == "ip":
+        cross = 1.0 - dots
+    else:
+        nn = feats.sq[jnp.clip(ids_d, 0, feats.sq.shape[0] - 1)]
+        cross = nn[:, :, None] + nn[:, None, :] - 2.0 * dots
+    ref_ids, ref_d = batch_select_neighbors(ids_d, dists_d, cross, M=M)
+    np.testing.assert_array_equal(np.asarray(lazy_ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(lazy_d), np.asarray(ref_d), rtol=1e-6)
+
+
 def test_pq_guided_build_recall():
     """build_pq="true" forces the PQ-guided level-0 build: insertion searches
     walk packed 4-bit neighbor descriptors (one row gather per popped node)
