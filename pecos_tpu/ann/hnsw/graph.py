@@ -400,9 +400,10 @@ def batch_search_level_pq(
     )
 
 
+@jax.jit
 def pack_neighbor_codes(neighbors: jax.Array, codes: jax.Array) -> jax.Array:
     """Inline each node's neighbor PQ codes with its adjacency row:
-    (N, M) x (N, S) -> (N, M, S) uint8.
+    (N, M) x (N, S) -> (N, M*S) uint8, row-major per neighbor.
 
     The TPU analog of the reference's inlined neighbor features
     (hnsw.hpp:93-178 stores features next to the adjacency list): the
@@ -410,16 +411,37 @@ def pack_neighbor_codes(neighbors: jax.Array, codes: jax.Array) -> jax.Array:
     row regardless of bytes, scripts/probe_hnsw_parts.py), so one gather
     per popped node that returns all M neighbor code rows replaces M
     separate row gathers — M x less gather overhead and ~8x fewer HBM
-    bytes than gathering f32 feature rows."""
-    safe = jnp.clip(neighbors, 0, codes.shape[0] - 1)
-    return codes[safe]  # (N, M, S); invalid (-1) slots are masked at use-site
+    bytes than gathering f32 feature rows.
+
+    Stored 2-D on purpose: a (N, M, S) uint8 array is lane-padded by the
+    TPU layout (minor dim S=64 -> 128), doubling its HBM footprint (~8.6 GB
+    at N=1M/M=64/S=64, measured); (N, M*S) tiles cleanly at true size.  The
+    gather runs in row chunks inside one fori_loop so no full-size 3-D
+    intermediate is ever materialized (invalid -1 slots gather garbage rows;
+    use-sites mask by id sign)."""
+    N, M = neighbors.shape
+    S = codes.shape[1]
+    chunk = min(1 << 16, N)
+    nsteps = -(-N // chunk)
+
+    def body(i, out):
+        # clamp the final chunk's start; the overlap rewrites identical rows
+        s = jnp.minimum(i * chunk, N - chunk)
+        nb = jax.lax.dynamic_slice_in_dim(neighbors, s, chunk)
+        g = codes[jnp.clip(nb, 0, N - 1)]  # (chunk, M, S)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, g.reshape(chunk, M * S), s, axis=0
+        )
+
+    out = jnp.zeros((N, M * S), jnp.uint8)
+    return jax.lax.fori_loop(0, nsteps, body, out)
 
 
 @functools.partial(jax.jit, static_argnames=("ef", "max_steps", "expand"))
 def batch_search_level_pq_packed(
     codes: jax.Array,  # (N, S) uint8 PQ codes (entry-point scoring only)
     neighbors: jax.Array,  # (N, M) int32
-    nbr_codes: jax.Array,  # (N, M, S) uint8 packed neighbor codes
+    nbr_codes: jax.Array,  # (N, M*S) uint8 packed neighbor codes (2-D layout)
     lut: jax.Array,  # (B, S, 16) float32 per-query LUT
     entry_ids: jax.Array,  # (B, E)
     *,
@@ -437,11 +459,13 @@ def batch_search_level_pq_packed(
     M = neighbors.shape[1]
     N = neighbors.shape[0]
 
+    S = nbr_codes.shape[1] // M
+
     def neighbor_fn(cand_id):
         expand_ = cand_id.shape[1]
         safe = jnp.clip(cand_id, 0, N - 1)
         nbrs = neighbors[safe].reshape(B, expand_ * M)
-        c = nbr_codes[safe].reshape(B, expand_ * M, nbr_codes.shape[2])
+        c = nbr_codes[safe].reshape(B, expand_ * M, S)
         return nbrs, pq_apply_lut(lut, c)
 
     d0 = pq_gather_dist(lut, codes, entry_ids)
@@ -765,7 +789,7 @@ def scatter_set_rows_d(
 def scatter_set_rows_packed_d(
     neighbors: jax.Array,  # (N, cap)
     nbr_dists: jax.Array,  # (N, cap)
-    nbr_desc: jax.Array,  # (N, cap, S) uint8 packed neighbor codes
+    nbr_desc: jax.Array,  # (N, cap*S) uint8 packed neighbor codes (2-D layout)
     codes: jax.Array,  # (N, S)
     rows: jax.Array,  # (B,)
     ids: jax.Array,  # (B, M)
@@ -774,14 +798,15 @@ def scatter_set_rows_packed_d(
     """scatter_set_rows_d + packed-descriptor maintenance in one dispatch."""
     N, cap = neighbors.shape
     B, M = ids.shape
+    S = codes.shape[1]
     if M < cap:
         ids = jnp.concatenate([ids, jnp.full((B, cap - M), -1, ids.dtype)], axis=1)
         d = jnp.concatenate([d, jnp.full((B, cap - M), INF, d.dtype)], axis=1)
-    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)].reshape(B, cap * S)
     return (
         neighbors.at[rows, :].set(ids, mode="drop"),
         nbr_dists.at[rows, :].set(d, mode="drop"),
-        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+        nbr_desc.at[rows, :].set(desc, mode="drop"),
     )
 
 
@@ -870,7 +895,7 @@ def reverse_merge_closest(
 def reverse_merge_closest_packed(
     neighbors: jax.Array,  # (N, cap)
     nbr_dists: jax.Array,  # (N, cap)
-    nbr_desc: jax.Array,  # (N, cap, S)
+    nbr_desc: jax.Array,  # (N, cap*S) uint8 (2-D layout)
     codes: jax.Array,  # (N, S)
     src_ids: jax.Array,  # (B,)
     sel_ids: jax.Array,  # (B, M)
@@ -878,11 +903,11 @@ def reverse_merge_closest_packed(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """reverse_merge_closest + packed-descriptor maintenance, one dispatch."""
     rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src_ids, sel_ids, sel_dists)
-    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)].reshape(ids.shape[0], -1)
     return (
         neighbors.at[rows, :].set(ids, mode="drop"),
         nbr_dists.at[rows, :].set(d, mode="drop"),
-        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+        nbr_desc.at[rows, :].set(desc, mode="drop"),
     )
 
 
@@ -925,11 +950,11 @@ def reverse_merge_chunk_packed(
     sel_d = jax.lax.dynamic_slice_in_dim(new_d, s0, B)
     src = s0 + jnp.arange(B, dtype=jnp.int32)
     rows, ids, d = _reverse_merge_core(neighbors, nbr_dists, src, sel, sel_d)
-    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)]
+    desc = codes[jnp.clip(ids, 0, codes.shape[0] - 1)].reshape(ids.shape[0], -1)
     return (
         neighbors.at[rows, :].set(ids, mode="drop"),
         nbr_dists.at[rows, :].set(d, mode="drop"),
-        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+        nbr_desc.at[rows, :].set(desc, mode="drop"),
     )
 
 
@@ -1046,27 +1071,27 @@ def exact_rescore(
     return jnp.where(si >= big, -1, si), sd
 
 
-@jax.jit
 def pack_rows_codes(codes: jax.Array, rows_vals: jax.Array) -> jax.Array:
-    """codes (N+, S) gathered at rows_vals (A, K) -> (A, K, S); -1 slots get
-    garbage rows which downstream masks by id sign (see _beam_search)."""
-    return codes[jnp.clip(rows_vals, 0, codes.shape[0] - 1)]
+    """codes (N, S) gathered at rows_vals (A, K) -> (A, K*S) 2-D packed
+    layout (see pack_neighbor_codes); -1 slots get garbage rows which
+    downstream masks by id sign (see _beam_search)."""
+    return pack_neighbor_codes(rows_vals, codes)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def scatter_set_rows_packed(
     neighbors: jax.Array,  # (N, cap) int32 adjacency
-    nbr_desc: jax.Array,  # (N, cap, S) uint8 packed neighbor codes
+    nbr_desc: jax.Array,  # (N, cap*S) uint8 packed neighbor codes (2-D)
     codes: jax.Array,  # (N, S) uint8 node codes
     rows: jax.Array,  # (A,) row ids; pad with N (dropped)
     vals: jax.Array,  # (A, cap) new rows, -1 padded
 ) -> Tuple[jax.Array, jax.Array]:
     """Row replacement that keeps the packed descriptor array in lockstep
     with the adjacency: one dispatch writes both."""
-    desc = codes[jnp.clip(vals, 0, codes.shape[0] - 1)]
+    desc = codes[jnp.clip(vals, 0, codes.shape[0] - 1)].reshape(vals.shape[0], -1)
     return (
         neighbors.at[rows, :].set(vals, mode="drop"),
-        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+        nbr_desc.at[rows, :].set(desc, mode="drop"),
     )
 
 
@@ -1075,7 +1100,7 @@ def scatter_set_rows_packed(
 )
 def scatter_prune_rows_packed(
     neighbors: jax.Array,  # (N, cap)
-    nbr_desc: jax.Array,  # (N, cap, S) uint8
+    nbr_desc: jax.Array,  # (N, cap*S) uint8 (2-D layout)
     codes: jax.Array,  # (N, S) uint8
     feats: jax.Array,  # (N, D)
     rows: jax.Array,  # (A,)
@@ -1120,10 +1145,10 @@ def scatter_prune_rows_packed(
     else:
         neg, pos = jax.lax.top_k(-d, cap)
         pruned = jnp.where(-neg < INF * 0.5, jnp.take_along_axis(cand, pos, axis=1), -1)
-    desc = codes[jnp.clip(pruned, 0, codes.shape[0] - 1)]
+    desc = codes[jnp.clip(pruned, 0, codes.shape[0] - 1)].reshape(pruned.shape[0], -1)
     return (
         neighbors.at[rows, :].set(pruned, mode="drop"),
-        nbr_desc.at[rows, :, :].set(desc, mode="drop"),
+        nbr_desc.at[rows, :].set(desc, mode="drop"),
     )
 
 

@@ -374,7 +374,9 @@ class HNSW(pecos_tpu.BaseClass):
                 )
             codes_d = jnp.asarray(pq.codes)
             codebooks_d = jnp.asarray(pq.codebooks)
-            nbr_desc = jnp.zeros((N, maxM0, S_pq), jnp.uint8)
+            # 2-D packed layout (N, maxM0*S): true-size HBM tiling — a 3-D
+            # (N, maxM0, S) uint8 array lane-pads S -> 128 and doubles memory
+            nbr_desc = jnp.zeros((N, maxM0 * S_pq), jnp.uint8)
             LOGGER.info(
                 "hnsw build: PQ guide trained (S=%d) in %.1fs", S_pq, time.time() - t_pq
             )
