@@ -16,6 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as smat
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pecos_tpu.xmc import solvers
@@ -111,6 +112,232 @@ def _pad_layer_labels(layer, lp: int):
     if pad:
         packed = jnp.pad(packed, ((0, pad), (0, 0)))
     return DeviceLayer("plabel", L, layer.children, packed=packed)
+
+
+def _pad_layer_parents(layer, lp: int):
+    """Pad a plabel DeviceLayer's parent-packed table to a multiple of lp
+    parents so it divides over the label-parallel axis.  Sharding by PARENT
+    block (each device owns every child of its parents) is what lets the
+    sharded predictor reuse the parent-packed gather-free intersection
+    scoring — one gathered row per beam parent covers all its children's
+    weights (see inference.score_candidates_sparse_parents).  Padded parents
+    are never beam candidates (the children table is untouched)."""
+    from pecos_tpu.xmc.inference import DeviceLayer, build_parent_packed
+
+    pp = layer.parent_packed
+    if pp is None:
+        packed = layer.packed
+        if packed is None:
+            packed = jnp.concatenate(
+                [
+                    layer.feat_ids,
+                    jax.lax.bitcast_convert_type(layer.feat_vals, jnp.int32),
+                ],
+                axis=1,
+            )
+        pp = jnp.asarray(
+            build_parent_packed(np.asarray(packed), np.asarray(layer.children))
+        )
+    n_par = pp.shape[0]
+    pad = (-n_par) % lp
+    if pad:
+        pp = jnp.pad(pp, ((0, pad), (0, 0), (0, 0)))
+    return DeviceLayer(
+        "plabel", layer.nr_labels, layer.children, parent_packed=pp
+    )
+
+
+def shard_chain_predict_labels_sparse(
+    mesh: Mesh,
+    compiled,
+    X,
+    *,
+    beam_size: int = 10,
+    only_topk: int = 20,
+    post_processor: str = "l3-hinge",
+):
+    """Label-sharded (model-parallel) beam search on the SPARSE query engine.
+
+    The sharded counterpart of CompiledHierModel's fast sparse path — the
+    one that produces the headline QPS: queries travel as padded (ids, vals)
+    pairs (never densified for plabel layers), plabel layers score with the
+    parent-packed broadcast-intersection kernel (gather-free,
+    inference._intersect_scores), and dense layers score via the W-row
+    gather.  Sharding:
+
+    - dense layers: ``W`` as ``P(None, "lp")`` — label-column blocks.
+    - plabel layers: ``parent_packed`` as ``P("lp", None, None)`` — PARENT
+      blocks, so each device owns all children of its parents and one
+      gathered row per owned beam parent scores all of them.
+    - queries: ``P("dp", None)``, replicated over lp.
+
+    Per level one ``lax.pmax`` over lp (the beam-score all-gather, riding
+    ICI) reassembles full candidate scores; top-k runs replicated.
+    Reference analog: pecos/distributed/xmc/xlinear/model.py:259-617.
+    """
+    from pecos_tpu.xmc.inference import (
+        NEG_INF,
+        _intersect_scores,
+        prepare_queries_padded,
+    )
+    from pecos_tpu.xmc.postprocessor import PostProcessor
+
+    lp = mesh.shape["lp"]
+    dp = mesh.shape["dp"]
+    depth = compiled.depth
+    D = compiled.nr_features
+    bias = compiled.bias
+    bias_id = D if bias > 0 else None
+    pp_names = (
+        tuple([post_processor] * depth)
+        if isinstance(post_processor, str)
+        else tuple(post_processor)
+    )
+    layers = [
+        _pad_layer_labels(l, lp) if l.kind == "dense" else _pad_layer_parents(l, lp)
+        for l in compiled.layers
+    ]
+    leaves, treedef = jax.tree_util.tree_flatten(layers)
+    specs = []
+    for layer in layers:
+        specs.append(P(None, None))  # children: replicated
+        if layer.kind == "dense":
+            specs.append(P(None, "lp"))  # W columns = labels
+        else:
+            specs.append(P("lp", None, None))  # parent_packed rows = parents
+    assert len(specs) == len(leaves)
+
+    ids_np, vals_np = prepare_queries_padded(X.tocsr() if smat.issparse(X) else X)
+    if ids_np.shape[0] % dp:
+        raise ValueError(f"batch {ids_np.shape[0]} not divisible by dp={dp}")
+
+    def local_chain(qids, qvals, *leaves):
+        layers = jax.tree_util.tree_unflatten(treedef, leaves)
+        N = qids.shape[0]
+        lp_idx = jax.lax.axis_index("lp")
+        n_roots = layers[0].children.shape[0]
+        parents = jnp.tile(jnp.arange(n_roots, dtype=jnp.int32), (N, 1))
+        pvals = jnp.full(
+            (N, n_roots), PostProcessor.get(pp_names[0]).init_value, jnp.float32
+        )
+        for d, layer in enumerate(layers):
+            pp = PostProcessor.get(pp_names[d])
+            maxc = layer.max_children
+            B = parents.shape[1]
+            safe_parents = jnp.clip(parents, 0, layer.children.shape[0] - 1)
+            cand = layer.children[safe_parents].reshape(N, B * maxc)
+            valid = (cand >= 0) & (parents >= 0).repeat(maxc, axis=1)
+            if layer.kind == "dense":
+                # local label block scored straight from sparse queries:
+                # one W-row gather + contraction (score_candidates_dense_sparse)
+                W = layer.W  # (D+1, Lb) local block
+                Lb = W.shape[1]
+                Wg = W[jnp.clip(qids, 0, W.shape[0] - 1)]  # (N, Qn, Lb)
+                scores_all = jnp.einsum(
+                    "bql,bq->bl", Wg, qvals, preferred_element_type=jnp.float32
+                )
+                if bias_id is not None:
+                    scores_all = scores_all + jnp.float32(bias) * W[bias_id]
+                local = cand - lp_idx * Lb
+                own = (local >= 0) & (local < Lb)
+                raw = jnp.take_along_axis(
+                    scores_all, jnp.clip(local, 0, Lb - 1), axis=1
+                )
+            else:
+                # parent-block ownership: one gathered parent-packed row per
+                # owned beam parent scores all its children via the
+                # broadcast-intersection kernel (no dense query, no gathers)
+                ppk = layer.parent_packed  # (Pb, maxc, 2P) local block
+                Pb = ppk.shape[0]
+                twoP = ppk.shape[2]
+                Pcap = twoP // 2
+                local_p = safe_parents - lp_idx * Pb
+                own_p = (local_p >= 0) & (local_p < Pb)
+                safe_l = jnp.clip(local_p, 0, Pb - 1)
+                w = ppk[safe_l].reshape(N, B * maxc, twoP)
+                K = B * maxc
+                pad_k = (-K) % 8
+                if pad_k:
+                    w = jnp.concatenate(
+                        [w, jnp.zeros((N, pad_k, twoP), w.dtype)], axis=1
+                    )
+                wi = w[..., :Pcap]
+                wv = jax.lax.bitcast_convert_type(w[..., Pcap:], jnp.float32)
+                raw = _intersect_scores(
+                    qids, qvals, wi, wv, 8, bias_id, jnp.float32(bias)
+                )[:, :K]
+                own = own_p.repeat(maxc, axis=1)
+            raw = jax.lax.pmax(jnp.where(own, raw, NEG_INF), "lp")
+            val = pp.transform_jnp(raw)
+            if d > 0:
+                val = pp.combiner_jnp(val, pvals.repeat(maxc, axis=1))
+            val = jnp.where(valid, val, NEG_INF)
+            k = min(only_topk if d == depth - 1 else beam_size, B * maxc)
+            topv, topi = jax.lax.top_k(val, k)
+            parents = jnp.take_along_axis(cand, topi, axis=1)
+            parents = jnp.where(topv > NEG_INF * 0.5, parents, -1)
+            pvals = topv
+        return parents, pvals
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_chain,
+            mesh=mesh,
+            in_specs=tuple([P("dp", None), P("dp", None)] + specs),
+            out_specs=(P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+    )
+    return fn(jnp.asarray(ids_np), jnp.asarray(vals_np), *leaves)
+
+
+def predict_sharded(
+    mesh: Mesh,
+    compiled,
+    X,
+    *,
+    beam_size: int = 10,
+    only_topk: int = 20,
+    post_processor: str = "l3-hinge",
+):
+    """User-facing label-sharded predict: any X (sparse/dense) -> top-k CSR.
+
+    Routes sparse queries through the sparse sharded engine (parent-packed
+    intersection scoring) and dense queries through the dense one; pads the
+    query count to a multiple of dp.  This is what
+    ``XLinearModel.predict(..., mesh=...)`` calls."""
+    from pecos_tpu.utils import smat_util
+    from pecos_tpu.xmc.inference import CompiledHierModel
+
+    if hasattr(compiled, "_get_compiled"):
+        compiled = compiled._get_compiled()
+    assert isinstance(compiled, CompiledHierModel)
+    dp = mesh.shape["dp"]
+    N = X.shape[0]
+    pad = (-N) % dp
+    if pad:
+        if smat.issparse(X):
+            Xp = smat.vstack(
+                [X.tocsr(), smat.csr_matrix((pad, X.shape[1]), dtype=X.dtype)]
+            ).tocsr()
+        else:
+            Xp = np.vstack([X, np.zeros((pad, X.shape[1]), X.dtype)])
+    else:
+        Xp = X
+    fn = shard_chain_predict_labels_sparse if smat.issparse(Xp) else (
+        lambda *a, **k: shard_chain_predict_labels(*a, **k)
+    )
+    labels, vals = fn(
+        mesh,
+        compiled,
+        Xp,
+        beam_size=beam_size,
+        only_topk=only_topk,
+        post_processor=post_processor,
+    )
+    labels = np.asarray(labels)[:N]
+    vals = np.asarray(vals)[:N]
+    return smat_util.csr_from_topk_arrays(labels, vals, compiled.nr_labels)
 
 
 def shard_chain_predict_labels(

@@ -808,6 +808,18 @@ class PredictOnlyHierModel(pecos_tpu.BaseClass):
         beam_size = kwargs.get("beam_size", 10) or 10
         only_topk = kwargs.get("only_topk", None) or 20
         post_processor = kwargs.get("post_processor", None) or "l3-hinge"
+        mesh = kwargs.pop("mesh", None)
+        if mesh is not None:
+            from pecos_tpu.parallel.mesh import predict_sharded
+
+            return predict_sharded(
+                mesh,
+                self._compiled,
+                X,
+                beam_size=beam_size,
+                only_topk=only_topk,
+                post_processor=post_processor,
+            )
         return self._compiled.predict(
             X, beam_size=beam_size, only_topk=only_topk, post_processor=post_processor
         )
@@ -1056,9 +1068,15 @@ class HierarchicalMLModel(pecos_tpu.BaseClass):
     ) -> smat.csr_matrix:
         """Whole-chain fused beam search on device (fast path).
 
-        kwargs: beam_size (default 10), only_topk, post_processor override.
+        kwargs: beam_size (default 10), only_topk, post_processor override;
+        mesh — a jax.sharding.Mesh with an "lp" axis routes the predict
+        through the label-sharded (model-parallel) engine, each device
+        holding 1/lp of the weights (parallel.mesh.predict_sharded; the
+        reference's sub-tree model parallelism,
+        pecos/distributed/xmc/xlinear/model.py:620-752).
         """
         beam_size = kwargs.get("beam_size", 10) or 10
+        mesh = kwargs.pop("mesh", None)
         pred_params = self.get_pred_params() if pred_params is None else pred_params
         pred_params.override_with_kwargs(kwargs)
         last = pred_params.model_chain[-1]
@@ -1068,6 +1086,17 @@ class HierarchicalMLModel(pecos_tpu.BaseClass):
             # fall back to the per-layer loop when a starting beam is supplied
             return self._predict_layer_loop(
                 X, csr_codes=csr_codes, pred_params=pred_params, beam_size=beam_size
+            )
+        if mesh is not None:
+            from pecos_tpu.parallel.mesh import predict_sharded
+
+            return predict_sharded(
+                mesh,
+                self._get_compiled(),
+                X,
+                beam_size=beam_size,
+                only_topk=only_topk,
+                post_processor=pp_names,
             )
         return self._get_compiled().predict(
             X, beam_size=beam_size, only_topk=only_topk, post_processor=pp_names
