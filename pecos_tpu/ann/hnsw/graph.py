@@ -474,6 +474,34 @@ def batch_search_level_pq_packed(
     )
 
 
+def _greedy_level(feats, neighbors, Q, entry, metric: str, max_steps: int):
+    """Greedy walk on one level's adjacency (the shared while_loop core of
+    batch_greedy_descent{,_multi,_stack})."""
+    B = Q.shape[0] if not isinstance(Q, SparseBlock) else Q.ids.shape[0]
+
+    def cond(state):
+        cur, cur_d, improved, steps = state
+        return jnp.logical_and(steps < max_steps, jnp.any(improved))
+
+    def body(state):
+        cur, cur_d, improved, steps = state
+        nbrs = neighbors[jnp.clip(cur, 0, neighbors.shape[0] - 1)]  # (B, M)
+        nd = jnp.where(nbrs >= 0, gather_dist(Q, feats, nbrs, metric), INF)
+        best = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+        best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
+        take = jnp.logical_and(improved, best_d < cur_d)
+        cur = jnp.where(take, best_id, cur)
+        cur_d = jnp.where(take, best_d, cur_d)
+        return cur, cur_d, take, steps + 1
+
+    cur_d = gather_dist(Q, feats, entry[:, None], metric)[:, 0]
+    cur, _, _, _ = jax.lax.while_loop(
+        cond, body, (entry, cur_d, jnp.ones((B,), bool), jnp.int32(0))
+    )
+    return cur
+
+
 @functools.partial(jax.jit, static_argnames=("max_steps",))
 def batch_greedy_descent(
     graph: DeviceGraph,
@@ -484,28 +512,29 @@ def batch_greedy_descent(
 ) -> jax.Array:
     """Greedy walk to the locally closest node (upper levels L..1,
     hnsw.hpp:927-944).  Returns (B,) node ids."""
-    B = Q.shape[0]
+    return _greedy_level(graph.feats, graph.neighbors, Q, entry, graph.metric, max_steps)
 
-    def cond(state):
-        cur, cur_d, improved, steps = state
-        return jnp.logical_and(steps < max_steps, jnp.any(improved))
 
-    def body(state):
-        cur, cur_d, improved, steps = state
-        nbrs = graph.neighbors[jnp.clip(cur, 0, graph.neighbors.shape[0] - 1)]  # (B, M)
-        nd = jnp.where(nbrs >= 0, gather_dist(Q, graph.feats, nbrs, graph.metric), INF)
-        best = jnp.argmin(nd, axis=1)
-        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
-        best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
-        take = jnp.logical_and(improved, best_d < cur_d)
-        cur = jnp.where(take, best_id, cur)
-        cur_d = jnp.where(take, best_d, cur_d)
-        return cur, cur_d, take, steps + 1
+@functools.partial(jax.jit, static_argnames=("metric", "max_steps"))
+def batch_greedy_descent_multi(
+    feats,
+    uppers,  # tuple of (N, maxM) adjacencies, TOP level first
+    Q,  # (B, D) | SparseBlock
+    entry: jax.Array,  # (B,) int32
+    *,
+    metric: str,
+    max_steps: int,
+) -> jax.Array:
+    """Greedy descent through several upper levels fused into ONE dispatch.
 
-    cur_d = gather_dist(Q, graph.feats, entry[:, None], graph.metric)[:, 0]
-    cur, _, _, _ = jax.lax.while_loop(
-        cond, body, (entry, cur_d, jnp.ones((B,), bool), jnp.int32(0))
-    )
+    Takes the build's per-level adjacency arrays directly (no stacking /
+    copying): the per-level walks unroll statically, so an insertion search
+    pays one tunnel round trip for the whole descent instead of one per
+    level — the build profile showed the per-level dispatches costing ~33 ms
+    each (~42 s of a 200K build)."""
+    cur = entry
+    for neighbors in uppers:
+        cur = _greedy_level(feats, neighbors, Q, cur, metric, max_steps)
     return cur
 
 
@@ -533,28 +562,7 @@ def batch_greedy_descent_stack(
         neighbors = jax.lax.dynamic_index_in_dim(
             upper_stack, L - 1 - i, axis=0, keepdims=False
         )
-
-        def cond(state):
-            c, cd, improved, steps = state
-            return jnp.logical_and(steps < max_steps, jnp.any(improved))
-
-        def body(state):
-            c, cd, improved, steps = state
-            nbrs = neighbors[jnp.clip(c, 0, neighbors.shape[0] - 1)]
-            nd = jnp.where(nbrs >= 0, gather_dist(Q, feats, nbrs, metric), INF)
-            best = jnp.argmin(nd, axis=1)
-            best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
-            best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
-            take = jnp.logical_and(improved, best_d < cd)
-            c = jnp.where(take, best_id, c)
-            cd = jnp.where(take, best_d, cd)
-            return c, cd, take, steps + 1
-
-        cd0 = gather_dist(Q, feats, cur[:, None], metric)[:, 0]
-        cur, _, _, _ = jax.lax.while_loop(
-            cond, body, (cur, cd0, jnp.ones((B,), bool), jnp.int32(0))
-        )
-        return cur
+        return _greedy_level(feats, neighbors, Q, cur, metric, max_steps)
 
     return jax.lax.fori_loop(0, n_levels, level_body, entry)
 

@@ -34,6 +34,7 @@ from .graph import (
     SparseBlock,
     SparseFeats,
     batch_greedy_descent,
+    batch_greedy_descent_multi,
     batch_search_level,
     batch_select_neighbors,
     build_sparse_feats,
@@ -409,9 +410,13 @@ class HNSW(pecos_tpu.BaseClass):
             q_idx_dev = jnp.asarray(np.concatenate([q_idx, pad]))
             Q = _gather_rows(feats_d, q_idx_dev)
             cur = jnp.full((Bq,), entry_, jnp.int32)
-            for l in range(max_level, at_level, -1):
-                g = DeviceGraph(feats_d, dev_up[l - 1], metric)
-                cur = batch_greedy_descent(g, Q, cur, max_steps=64)
+            if max_level > at_level:
+                # whole descent in ONE dispatch (profile: per-level descent
+                # dispatches cost ~33 ms each through the tunnel)
+                uppers_t = tuple(dev_up[l - 1] for l in range(max_level, at_level, -1))
+                cur = batch_greedy_descent_multi(
+                    feats_d, uppers_t, Q, cur, metric=metric, max_steps=64
+                )
             if at_level == 0 and use_pq_build:
                 # walk on packed PQ descriptors with a widened beam (the
                 # 4-bit guide misranks the pool's tail), exact-rescore the
@@ -720,8 +725,15 @@ class HNSW(pecos_tpu.BaseClass):
                 Qd = jnp.asarray(Qc)
                 nrows = Qc.shape[0]
             cur = jnp.full((nrows,), self.entry_point, jnp.int32)
-            for l in range(len(uppers), 0, -1):
-                cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
+            if uppers:
+                cur = batch_greedy_descent_multi(
+                    g0.feats,
+                    tuple(uppers[l - 1].neighbors for l in range(len(uppers), 0, -1)),
+                    Qd,
+                    cur,
+                    metric=self.metric,
+                    max_steps=64,
+                )
             ids_c, dists_c = batch_search_level(
                 g0, Qd, cur[:, None], ef=max(efS, topk), max_steps=4 * max(efS, topk)
             )
@@ -909,8 +921,17 @@ class HNSWProductQuantizer4Bits(pecos_tpu.BaseClass):
                 Qc = np.vstack([Qc, np.zeros((pad, Q.shape[1]), np.float32)])
             Qd = jnp.asarray(Qc)
             cur = jnp.full((Qc.shape[0],), self.hnsw.entry_point, jnp.int32)
-            for l in range(len(uppers), 0, -1):
-                cur = batch_greedy_descent(uppers[l - 1], Qd, cur, max_steps=64)
+            if uppers:
+                from .graph import batch_greedy_descent_multi
+
+                cur = batch_greedy_descent_multi(
+                    g0.feats,
+                    tuple(uppers[l - 1].neighbors for l in range(len(uppers), 0, -1)),
+                    Qd,
+                    cur,
+                    metric=self.hnsw.metric,
+                    max_steps=64,
+                )
             lut = jnp.asarray(build_lut(self.pq, Qc, self.hnsw.metric))
             ef = max(params.efS, params.num_rerank, topk)
             if use_packed:

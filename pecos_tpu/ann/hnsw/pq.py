@@ -199,18 +199,23 @@ def pq_apply_lut(
     c: jax.Array,  # (B, K, S) uint8/int32 codes already gathered
     ip_offset: float = 0.0,
 ) -> jax.Array:
-    """sum_s LUT[b, s, c[b, k, s]] as a 16-way compare-select reduction.
+    """sum_s LUT[b, s, c[b, k, s]] as a 4-level binary select tree.
 
     NOT a gather: take_along_axis here would issue B*K*S scalar gathers,
     which XLA executes at ~14 ns each inside device loops (measured
-    ~1 s/step at SIFT-1M shapes); the compare-select version is pure fused
-    VPU work and reads the codes once.  TPU analog of the reference's
-    AVX512 shuffle-LUT (quantizer_impl/x86.hpp)."""
+    ~1 s/step at SIFT-1M shapes).  A 16-way compare+select+accumulate scan
+    costs ~48 VPU ops per (k, s) element; selecting on the code's 4 bits
+    instead halves the live table at each level (8+4+2+1 selects + 4 bit
+    tests ~= 20 ops), ~2.4x less VPU work for identical selected values.
+    TPU analog of the reference's AVX512 shuffle-LUT
+    (quantizer_impl/x86.hpp)."""
     c = c.astype(jnp.int32)
-    acc = jnp.zeros(c.shape[:2], jnp.float32)
-    for x in range(16):
-        acc = acc + jnp.sum(jnp.where(c == x, lut[:, None, :, x], 0.0), axis=-1)
-    return acc + ip_offset
+    t = lut[:, None, :, :]  # (B, 1, S, 16) broadcast over candidates
+    t = jnp.where((c & 8)[..., None] != 0, t[..., 8:], t[..., :8])  # (B,K,S,8)
+    t = jnp.where((c & 4)[..., None] != 0, t[..., 4:], t[..., :4])
+    t = jnp.where((c & 2)[..., None] != 0, t[..., 2:], t[..., :2])
+    v = jnp.where((c & 1) != 0, t[..., 1], t[..., 0])  # (B, K, S)
+    return jnp.sum(v, axis=-1) + ip_offset
 
 
 def pq_gather_dist(

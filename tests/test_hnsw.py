@@ -334,3 +334,19 @@ def test_hnsw_cli_end_to_end(tmp_path):
     assert recall >= 99.0, r.stdout
     P = smat_util.load_matrix(pred_path)
     assert P.shape == (50, 500)
+
+
+def test_pq_apply_lut_matches_direct_indexing():
+    """The select-tree LUT apply must equal sum_s LUT[b, s, c[b, k, s]]."""
+    import jax.numpy as jnp
+
+    from pecos_tpu.ann.hnsw.pq import pq_apply_lut
+
+    rng = np.random.default_rng(0)
+    B, K, S = 4, 13, 8
+    lut = rng.standard_normal((B, S, 16)).astype(np.float32)
+    c = rng.integers(0, 16, size=(B, K, S), dtype=np.int32)
+    got = np.asarray(pq_apply_lut(jnp.asarray(lut), jnp.asarray(c)))
+    s_idx = np.arange(S)
+    ref = lut[np.arange(B)[:, None, None], s_idx[None, None, :], c].sum(-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
