@@ -138,18 +138,22 @@ def prepare_queries(X, bias: float, batch: Optional[int] = None) -> np.ndarray:
     return Xd
 
 
-def prepare_queries_padded(X: smat.spmatrix, round_to: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+def prepare_queries_padded(
+    X: smat.spmatrix, round_to: int = 64, cap: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """Sparse queries as padded (ids, vals) — the wire format for host->device.
 
     A TF-IDF query row has a few hundred nonzeros; shipping the dense row
     (D floats, megabytes at Wiki-500K scale) would be transfer-bound.  Pad ids
     to a power-of-two-ish capacity; id D+1 marks padding (scattered into a
-    dummy column on device).
+    dummy column on device).  Pass ``cap`` to force the capacity (per-batch
+    callers must share one capacity so every batch hits the same compile).
     """
     A = X.tocsr()
     nnz = np.diff(A.indptr)
-    max_nnz = int(nnz.max()) if A.shape[0] else 1
-    cap = max(round_to, 1 << (max_nnz - 1).bit_length())
+    if cap is None:
+        max_nnz = int(nnz.max()) if A.shape[0] else 1
+        cap = max(round_to, 1 << (max_nnz - 1).bit_length())
     D = A.shape[1]
     ids = np.full((A.shape[0], cap), D + 1, dtype=np.int32)
     vals = np.zeros((A.shape[0], cap), dtype=np.float32)
@@ -264,29 +268,38 @@ def score_candidates_sparse(
 
 
 def _intersect_scores(qids, qvals, wi, wv, chunk, bias_id, bias_val):
-    """Chunked broadcast-intersection scoring core.
+    """Broadcast-intersection scoring core: scan over QUERY chunks.
 
-    wi/wv are (N, Kp, P) with Kp divisible by chunk; returns (N, Kp)."""
+    wi/wv are (N, Kp, P); returns (N, Kp).  The scan iterates over chunks of
+    the query's nonzeros with a persistent (N, Kp, P) f32 accumulator of
+    matched values — measured 1.39x faster than the earlier candidate-chunked
+    scan at the Wiki-500K geometry (6.07 vs 8.41 ms for N=1024 K=160 P=64
+    Qn=256 on v5e) because the per-iteration fusion keeps the whole
+    (N, Kp, P, qc) compare block in registers and the reduction is an
+    in-place accumulate instead of a fresh Qn-wide lane reduction per
+    candidate block.  Exact: each weight slot matches at most one query id
+    (CSR ids are unique per row), so chunked accumulation adds disjoint
+    singletons and is bit-identical to the single-pass sum.
+    ``chunk`` is kept for API compatibility (callers pad Kp to it)."""
     N, Kp, P = wi.shape
-    wi_r = wi.reshape(N, Kp // chunk, chunk, P).swapaxes(0, 1)
-    wv_r = wv.reshape(N, Kp // chunk, chunk, P).swapaxes(0, 1)
+    Qn = qids.shape[1]
+    qc = 64 if Qn % 64 == 0 else Qn
+    qr = qids.reshape(N, Qn // qc, qc).swapaxes(0, 1)
+    vr = qvals.reshape(N, Qn // qc, qc).swapaxes(0, 1)
 
-    def step(carry, blk):
-        wi_b, wv_b = blk  # (N, chunk, P)
-        m = qids[:, None, None, :] == wi_b[:, :, :, None]  # (N, chunk, P, Qn)
-        g = jnp.sum(jnp.where(m, qvals[:, None, None, :], 0.0), axis=-1)
-        s = jnp.sum(g * wv_b, axis=-1)  # (N, chunk)
-        if bias_id is not None:
-            # the bias feature is a single known id: one compare over P
-            # instead of widening Qn by a 128-wide padded bias block (that
-            # block used to cost ~1/3 of the whole intersection)
-            s = s + bias_val * jnp.sum(
-                jnp.where(wi_b == bias_id, wv_b, 0.0), axis=-1
-            )
-        return carry, s
+    def step(g, blk):
+        qi, qv = blk  # (N, qc)
+        m = qi[:, None, None, :] == wi[:, :, :, None]  # (N, Kp, P, qc)
+        return g + jnp.sum(jnp.where(m, qv[:, None, None, :], 0.0), axis=-1), None
 
-    _, out = jax.lax.scan(step, 0.0, (wi_r, wv_r))  # (Kp//chunk, N, chunk)
-    return out.swapaxes(0, 1).reshape(N, Kp)
+    g, _ = jax.lax.scan(step, jnp.zeros((N, Kp, P), jnp.float32), (qr, vr))
+    out = jnp.sum(g * wv, axis=-1)  # (N, Kp)
+    if bias_id is not None:
+        # the bias feature is a single known id: one compare over P
+        # instead of widening Qn by a 128-wide padded bias block (that
+        # block used to cost ~1/3 of the whole intersection)
+        out = out + bias_val * jnp.sum(jnp.where(wi == bias_id, wv, 0.0), axis=-1)
+    return out
 
 
 def score_candidates_sparse_parents(
@@ -636,6 +649,11 @@ class CompiledHierModel:
         # per-batch uploads + one fetch 18.4K — fetches serialize the stream,
         # uploads pipeline.
         if sparse_input:
+            # upfront whole-set prep beats per-batch prep on this host:
+            # per-batch slicing + fresh padded allocations page-fault every
+            # batch (~30 ms each, measured), while one big prep is ~40 ms
+            # warm for 8K queries and the per-batch jnp.asarray slices then
+            # pipeline behind device compute
             ids_all, vals_all = prepare_queries_padded(X)
             cap = ids_all.shape[1]
             fn = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
@@ -658,6 +676,9 @@ class CompiledHierModel:
             X_r = Xd.reshape(nb, batch, Xd.shape[1])
             pending = [fn(jnp.asarray(X_r[i]), self.layers) for i in range(nb)]
         if pending:
+            # ONE stacked fetch: measured on the tunneled v5e, per-batch
+            # fetches (even async ones) serialize the dispatch stream while
+            # a single device-side concat + fetch costs one RTT total
             stacked = jnp.concatenate([l for l, _ in pending]), jnp.concatenate(
                 [v for _, v in pending]
             )

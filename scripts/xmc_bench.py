@@ -188,6 +188,12 @@ def main():
         t0 = time.time()
         model = XLinearModel.train(X, Y, C=chain, shallow=True)
         train_s = time.time() - t0
+        # warm = second train in-process: jitted solver kernels already
+        # compiled, so this is the steady re-train number (the persistent
+        # XLA compile cache gives fresh processes nearly the same time).
+        t0 = time.time()
+        model = XLinearModel.train(X, Y, C=chain, shallow=True)
+        train_warm_s = time.time() - t0
 
         def predict(Q):
             return model.predict(Q, beam_size=args.beam, only_topk=args.topk)
@@ -223,6 +229,11 @@ def main():
         "beam": args.beam,
         "topk": args.topk,
         "train_seconds": train_s,
+        **(
+            {"train_seconds_cold": train_s, "train_seconds_warm": train_warm_s}
+            if args.engine == "tpu"
+            else {}
+        ),
         "prec": [float(v) for v in m.prec],
         "recall": [float(v) for v in m.recall],
         "qps": qps,
