@@ -36,48 +36,32 @@ ENCODER_CLASSES: Dict[str, Dict[str, str]] = {
         model="FlaxXLMRobertaModel",
         tokenizer="XLMRobertaTokenizerFast",
     ),
+    # transformers ships no Flax XLNet; this is pecos_tpu's own implementation
+    # (flax_xlnet.py), covering the 5th reference encoder family
+    # (reference network.py:225-528).  Torch XLNet checkpoints load through
+    # from_pretrained(..., from_pt=True); numerical parity with torch's
+    # XLNetModel is asserted in tests/test_flax_xlnet.py.
+    "xlnet": dict(config="XLNetConfig", model="FlaxXLNetModel", tokenizer="XLNetTokenizerFast"),
 }
 
 
-# Substitution policy for the reference's 5th encoder family
-# (reference network.py:225-528). transformers ships no Flax XLNet, so the
-# TPU path cannot run it natively; rather than silently failing, "xlnet" maps
-# to the closest supported family (roberta: same size class, same
-# cased-sentencepiece-era pretraining vintage, same pooled-embedding usage in
-# the XMC head). Opt in explicitly — either pass allow_substitution=True or
-# set PECOS_TPU_ENCODER_SUBSTITUTION=1; the default remains a clear error so
-# nobody trains a different encoder than they asked for unknowingly.
-ENCODER_SUBSTITUTIONS = {"xlnet": "roberta"}
-
-
-def resolve_encoder(model_type: str, allow_substitution: bool = False):
-    import os
-
+def resolve_encoder(model_type: str):
     import transformers
 
-    if model_type in ENCODER_SUBSTITUTIONS:
-        if allow_substitution or os.environ.get("PECOS_TPU_ENCODER_SUBSTITUTION") == "1":
-            sub = ENCODER_SUBSTITUTIONS[model_type]
-            logging.getLogger(__name__).warning(
-                "encoder %r has no Flax implementation; substituting %r "
-                "(ENCODER_SUBSTITUTIONS policy)", model_type, sub
-            )
-            model_type = sub
-        else:
-            raise ValueError(
-                f"{model_type!r} has no Flax implementation in transformers; choose one "
-                f"of {sorted(ENCODER_CLASSES)}, or opt into the documented substitution "
-                f"policy ({model_type!r} -> {ENCODER_SUBSTITUTIONS[model_type]!r}) by "
-                "setting PECOS_TPU_ENCODER_SUBSTITUTION=1"
-            )
     if model_type not in ENCODER_CLASSES:
         raise ValueError(
             f"unsupported encoder type {model_type!r}; supported: {sorted(ENCODER_CLASSES)}"
         )
     spec = ENCODER_CLASSES[model_type]
+    if model_type == "xlnet":
+        from .flax_xlnet import FlaxXLNetModel
+
+        model_cls = FlaxXLNetModel
+    else:
+        model_cls = getattr(transformers, spec["model"])
     return (
         getattr(transformers, spec["config"]),
-        getattr(transformers, spec["model"]),
+        model_cls,
         getattr(transformers, spec["tokenizer"]),
     )
 
