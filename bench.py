@@ -208,6 +208,38 @@ def main():
     b1_p50 = float(np.percentile(lat, 50))
     b1_p99 = float(np.percentile(lat, 99))
 
+    # batch-1 on-device latency: chain K dependent walks (next query's ids are
+    # shifted by the previous top label, forcing strict sequential execution)
+    # and fetch once — separates engine latency from the tunnel round trip
+    # (scripts/probe_latency.py measured the empty dispatch+fetch RTT alone at
+    # ~28 ms on this testbed; a host-attached chip pays PCIe microseconds).
+    @jax.jit
+    def _chained(i, v, layers):
+        lbl, _ = fn1(i, v, layers)
+        shift = (lbl[0, 0] % jnp.int32(7)).astype(jnp.int32)
+        return jnp.where(i >= D + 1, i, (i + shift) % jnp.int32(D)), v, lbl
+
+    ii, vv, out = _chained(i1, v1, model.layers)
+    jax.device_get(out)  # warm
+    KCH = 32
+    ii, vv = i1, v1
+    t0 = time.time()
+    for _ in range(KCH):
+        ii, vv, out = _chained(ii, vv, model.layers)
+    jax.device_get(out)
+    b1_dev_ms = (time.time() - t0) * 1000 / KCH
+
+    # empty dispatch+fetch RTT (the serving floor this testbed's tunnel adds)
+    f_id = jax.jit(lambda x: x + 1.0)
+    xz = jnp.zeros((1, 8), jnp.float32)
+    jax.device_get(f_id(xz))
+    rtts = []
+    for _ in range(20):
+        t0 = time.time()
+        jax.device_get(f_id(xz))
+        rtts.append((time.time() - t0) * 1000)
+    rtt_p50 = float(np.percentile(rtts, 50))
+
     # empirical roofline
     hbm_gbps, vpu_tops = measure_chip_peaks()
     bytes_b, ops_b = analytic_batch_costs(model, batch, cap, 10, 20)
@@ -237,6 +269,8 @@ def main():
                 "compute_only_qps": round(batch / t_comp, 1),
                 "batch1_p50_ms": round(b1_p50, 2),
                 "batch1_p99_ms": round(b1_p99, 2),
+                "batch1_on_device_ms": round(b1_dev_ms, 2),
+                "tunnel_rtt_ms": round(rtt_p50, 2),
                 "roofline": {
                     "chip_peak_hbm_gbps_measured": round(hbm_gbps, 1),
                     "chip_peak_vpu_tops_measured": round(vpu_tops, 2),
@@ -251,7 +285,8 @@ def main():
     )
     print(
         f"# setup+compile: {setup_s:.1f}s, end-to-end best: {best:.3f}s for {n_queries} queries, "
-        f"compute-only {compute_ms:.1f} ms/batch, batch-1 p50 {b1_p50:.1f} ms, "
+        f"compute-only {compute_ms:.1f} ms/batch, batch-1 p50 {b1_p50:.1f} ms "
+        f"(on-device {b1_dev_ms:.1f} ms + tunnel RTT {rtt_p50:.1f} ms), "
         f"pred nnz/row: {P.nnz / P.shape[0]:.1f}",
         file=sys.stderr,
     )

@@ -130,14 +130,29 @@ class HNSW(pecos_tpu.BaseClass):
         threads: int = -1  # parity only
         build_batch_size: int = 2048
         refine_iters: int = 1  # graph-repair passes after batched insertion
+        # level-0 INSERTION search beam; 0 = efC (default).  Hypothesis tested
+        # and REJECTED as a default at SIFT-1M: since the refine pass
+        # re-searches every node at full efC, a narrower insertion beam (64)
+        # looked free — it cut the build 930.5 s -> 809.6 s but cost recall
+        # 0.9914 -> 0.9809 at efS=100 (below the reference's 0.9910): refine
+        # walks the scaffold insertion built, and a weaker scaffold degrades
+        # the refine searches themselves.  Left as an explicit knob for
+        # recall-tolerant callers.  The reference has no refine pass and no
+        # analog of this knob (hnsw.hpp:805-809).
+        build_efC_insert: int = 0
         reverse_alg4: bool = False  # Alg-4 (vs keep-closest) reverse-edge prune
         # candidates popped per best-first iteration during BUILD searches:
         # higher = fewer sequential while_loop steps (each step pays a full
-        # HBM gather + beam re-sort) at a few % more distance evals
-        build_expand: int = 4
+        # HBM gather + beam re-sort) at a few % more distance evals.
+        # 0 = auto: 8 for dense features (the MXU scores the extra pops for
+        # free and halving the step count halved the measured 100K build),
+        # 4 for sparse (per-pair intersection cost dominates there)
+        build_expand: int = 0
         # bfloat16 build searches halve gather bandwidth; forward/reverse
         # selection is distance-ORDER based so bf16 rounding barely moves it
-        build_dtype: str = "float32"  # float32 | bfloat16
+        # (measured at SIFT-100K: recall 0.9998 vs 1.0000 at efS=50).
+        # auto = bfloat16 for dense builds, float32 storage otherwise
+        build_dtype: str = "auto"  # auto | float32 | bfloat16
         # feature storage: auto = keep CSR input sparse when densifying is
         # infeasible (D > sparse_dim_threshold); drm forces dense; csr forces
         # sparse (reference data_type, pecos/ann/hnsw/model.py:130-147)
@@ -156,9 +171,15 @@ class HNSW(pecos_tpu.BaseClass):
         # walk replaces the per-step broadcast-intersection distance kernels
         # (the dominant sparse build cost) with LUT lookups; only the
         # once-per-batch rescore/selection still runs sparse-exact.
-        # auto = on when the packed array fits the HBM budget and N is large
-        # enough to amortize codebook training.
-        build_pq: str = "auto"  # auto | true | false
+        # auto = OFF (round-4 measurement: at SIFT-100K the exact bf16 walk
+        # with expand=8 builds in 61.5 s eager / 54.7 s scanned vs the PQ
+        # guide's 103.7 s — the LUT apply is VPU table-gathers, ~10-30x the
+        # cost of the exact path's contiguous MACs per scored neighbor, the
+        # same architectural fact that makes PQ4 SEARCH slower than exact on
+        # this chip, benchmarks/README.md); "true" opts the guide back in
+        # (it remains profitable for sparse corpora, where exact per-pair
+        # intersection is the expensive step).
+        build_pq: str = "auto"  # auto (off) | true | false
         build_pq_subspaces: int = 64
         build_pq_min_points: int = 50000
         # count-sketch width for the sparse-feature guide (see build_pq)
@@ -184,6 +205,18 @@ class HNSW(pecos_tpu.BaseClass):
         # SIFT-1M: the whole recall gap between PQ-guided and exact builds
         # lives in this tail).  Cost is ~linear in ef for the in-loop sort.
         build_pq_ef_mult: float = 1.3
+        # Scan-fused build: the level-0 insertion loop and the refine pass run
+        # as lax.scan megakernels (one device dispatch per ~SEG batches)
+        # instead of ~10 host dispatches + uploads per batch.  The reference's
+        # analog of the removed overhead is its OMP fan-out cost per point
+        # (hnsw.hpp:805-809) — here the host loop itself was the bottleneck at
+        # 1M points (thousands of dispatch/upload round trips through a
+        # remote-device tunnel).  Upper-level points (~N/M of the corpus) are
+        # inserted eagerly FIRST at all their levels, so every scanned batch
+        # descends a finished upper hierarchy and always lands on an
+        # L0-connected node.  auto = on for the device-resident (fast) build
+        # path at N >= 65536; reverse_alg4 stays on the host-grouped loop.
+        build_scan: str = "auto"  # auto | true | false
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -287,6 +320,7 @@ class HNSW(pecos_tpu.BaseClass):
         maxM = params.max_M or M
         maxM0 = params.max_M0 or 2 * M
         efC = params.efC
+        ef_ins = params.build_efC_insert or efC
         rng = np.random.default_rng(params.seed)
 
         # geometric level assignment (hnsw.hpp:785-794)
@@ -301,9 +335,13 @@ class HNSW(pecos_tpu.BaseClass):
         metric = params.metric_type
 
         feats_d = build_sparse_feats(feats) if use_sparse else jnp.asarray(feats)
-        if params.build_dtype == "bfloat16" and not use_sparse:
+        build_dtype = params.build_dtype
+        if build_dtype == "auto":
+            build_dtype = "float32" if use_sparse else "bfloat16"
+        if build_dtype == "bfloat16" and not use_sparse:
             # build-time search copy only; the model keeps f32 host feats
             feats_d = feats_d.astype(jnp.bfloat16)
+        build_expand = params.build_expand or (4 if use_sparse else 8)
         dev_n0 = jnp.full((N, maxM0), -1, jnp.int32)
         dev_up = [jnp.full((N, maxM), -1, jnp.int32) for _ in range(max_level)]
         # Fast path (keep-closest reverse pruning, the default): a float32
@@ -335,15 +373,9 @@ class HNSW(pecos_tpu.BaseClass):
         # sketch+PQ guide measurably costs recall on sparse corpora, and the
         # sparse walk is NOT the build bottleneck (selection is; see
         # build_select_sketch) — sparse callers may still opt in with "true"
-        use_pq_build = params.build_pq != "false" and (
-            params.build_pq == "true"
-            or (
-                not use_sparse
-                and N >= params.build_pq_min_points
-                and S_pq >= 16
-                and guide_dim >= 16
-            )
-        )
+        # auto = off since round 4: the exact bf16/expand-8 walk measurably
+        # beats the PQ-guided walk on dense corpora (see TrainParams.build_pq)
+        use_pq_build = params.build_pq == "true" and S_pq >= 1 and guide_dim >= 2
         # count-sketch of sparse rows: selection cross-distances (and the
         # optional sparse PQ walk) ride a dense (N, sk) projection
         sketch_d = None
@@ -432,13 +464,13 @@ class HNSW(pecos_tpu.BaseClass):
                     cur[:, None],
                     ef=ef_pq,
                     max_steps=4 * ef_pq,
-                    expand=params.build_expand,
+                    expand=build_expand,
                 )
                 return exact_rescore(Q, feats_d, ids, metric=metric)
             arr = dev_n0 if at_level == 0 else dev_up[at_level - 1]
             g = DeviceGraph(feats_d, arr, metric)
             return batch_search_level(
-                g, Q, cur[:, None], ef=ef, max_steps=4 * ef, expand=params.build_expand
+                g, Q, cur[:, None], ef=ef, max_steps=4 * ef, expand=build_expand
             )
 
         def bucket_pow2(n: int, lo: int, hi: int) -> int:
@@ -488,12 +520,27 @@ class HNSW(pecos_tpu.BaseClass):
             return out
 
         # ---- phase 1: batched insertion (growing ramp, then steady B) ----
-        inserted = 1
+        # Scan mode (build_scan): only the upper-level points (~N/M of the
+        # corpus) go through this eager loop — at ALL their levels, L0
+        # included, so the frozen upper hierarchy + every greedy-descent
+        # landing node exist before the scanned level-0 sweep starts.
+        use_scan = params.build_scan == "true" or (
+            params.build_scan == "auto" and fast and N >= 65536
+        )
+        if use_scan and not fast:
+            LOGGER.warning("build_scan requires the device-resident (fast) path; ignoring")
+            use_scan = False
+        if use_scan:
+            order = np.where(levels >= 1)[0]
+            order = order[order != 0]
+        else:
+            order = np.arange(1, N)
+        pos = 0
         bs = 32
-        while inserted < N:
-            batch = np.arange(inserted, min(inserted + bs, N))
+        while pos < len(order):
+            batch = order[pos : pos + bs]
             b = len(batch)
-            ids_d, dists_d = search_batch(batch, entry, efC)
+            ids_d, dists_d = search_batch(batch, entry, ef_ins)
             sel_ids, sel_d = batch_select_from_search(
                 feats_d, ids_d, dists_d, M=M, metric=metric, sketch=sel_sketch,
                 pool=sel_pool,
@@ -578,15 +625,196 @@ class HNSW(pecos_tpu.BaseClass):
             top = batch[np.argmax(levels[batch])]
             if levels[top] > levels[entry]:
                 entry = int(top)
-            inserted = batch[-1] + 1
-            bs = min(B, max(32, inserted))
-            if inserted % (64 * B) < b:
-                LOGGER.info("hnsw build: %d/%d inserted", inserted, N)
+            pos += b
+            bs = min(B, max(32, pos + 1))
+            if pos % (64 * B) < b:
+                LOGGER.info("hnsw build: %d/%d inserted", pos + 1, N)
+
+        # ---- phase 1b (scan mode): level-0 points via lax.scan megakernels ----
+        # The eager loop above issues ~10 dispatches + several host<->device
+        # transfers per batch; at 1M points that is thousands of tunnel round
+        # trips.  Here the whole steady-state insertion runs as a handful of
+        # scans: per segment ONE dispatch covers SEG batches.  Frozen arrays
+        # (features, PQ codes, upper levels) are passed as jit ARGUMENTS, not
+        # closures, so no multi-GB buffer gets baked into an executable and
+        # pinned past its phase.
+        SEG = 32  # batches per scan dispatch (bounds single-execution length)
+        if use_scan:
+            if use_pq_build:
+                from .pq import build_lut_device
+
+            guide_is_feats = guide_d is feats_d
+            uppers_desc = tuple(dev_up[l - 1] for l in range(max_level, 0, -1))
+            frozen_common = {
+                "feats": feats_d,
+                "codes": codes_d,
+                "cb": codebooks_d,
+                "guide": None if guide_is_feats else guide_d,
+                "sketch": sel_sketch,
+                "up": uppers_desc,
+            }
+
+            def _search_l0(frozen, n0, desc, bids_row, ef):
+                """Descent + level-0 search for one scanned batch (traced)."""
+                safe = jnp.minimum(bids_row, N - 1)
+                Q = frozen["feats"][safe]
+                cur = jnp.full((bids_row.shape[0],), entry, jnp.int32)
+                if max_level > 0:
+                    cur = batch_greedy_descent_multi(
+                        frozen["feats"], frozen["up"], Q, cur, metric=metric, max_steps=64
+                    )
+                if use_pq_build:
+                    ef_pq = int(np.ceil(ef * params.build_pq_ef_mult))
+                    Qg = Q if guide_is_feats else frozen["guide"][safe]
+                    lut = build_lut_device(frozen["cb"], Qg, metric=metric)
+                    ids_pq, _ = batch_search_level_pq_packed(
+                        frozen["codes"], n0, desc, lut, cur[:, None],
+                        ef=ef_pq, max_steps=4 * ef_pq, expand=build_expand,
+                    )
+                    ids_d, dists_d = exact_rescore(Q, frozen["feats"], ids_pq, metric=metric)
+                else:
+                    g = DeviceGraph(frozen["feats"], n0, metric)
+                    ids_d, dists_d = batch_search_level(
+                        g, Q, cur[:, None], ef=ef, max_steps=4 * ef,
+                        expand=build_expand,
+                    )
+                return Q, ids_d, dists_d
+
+            def _l0_body(carry, bids_row, frozen):
+                if use_pq_build:
+                    n0, d0, desc = carry
+                else:
+                    (n0, d0), desc = carry, None
+                _, ids_d, dists_d = _search_l0(frozen, n0, desc, bids_row, ef_ins)
+                sel_ids, sel_d = batch_select_from_search(
+                    frozen["feats"], ids_d, dists_d, M=M, metric=metric,
+                    sketch=frozen["sketch"], pool=sel_pool,
+                )
+                if use_pq_build:
+                    n0, d0, desc = scatter_set_rows_packed_d(
+                        n0, d0, desc, frozen["codes"], bids_row, sel_ids, sel_d
+                    )
+                    n0, d0, desc = reverse_merge_closest_packed(
+                        n0, d0, desc, frozen["codes"], bids_row, sel_ids, sel_d
+                    )
+                    return (n0, d0, desc), None
+                n0, d0 = scatter_set_rows_d(n0, d0, bids_row, sel_ids, sel_d)
+                n0, d0 = reverse_merge_closest(n0, d0, bids_row, sel_ids, sel_d)
+                return (n0, d0), None
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _run_insert(carry, frozen, xs):
+                return jax.lax.scan(lambda c, x: _l0_body(c, x, frozen), carry, xs)[0]
+
+            l0_pts = np.where(levels == 0)[0]
+            l0_pts = l0_pts[l0_pts != 0].astype(np.int32)
+            if len(l0_pts):
+                nb = -(-len(l0_pts) // B)
+                nb_total = -(-nb // SEG) * SEG  # pad to whole segments: ONE shape
+                bids_all = np.full(nb_total * B, N, np.int32)
+                bids_all[: len(l0_pts)] = l0_pts
+                bids_all = bids_all.reshape(nb_total, B)
+                carry = (dev_n0, dev_d0, nbr_desc) if use_pq_build else (dev_n0, dev_d0)
+                t_scan = time.time()
+                for s in range(0, nb_total, SEG):
+                    carry = _run_insert(
+                        carry, frozen_common, jnp.asarray(bids_all[s : s + SEG])
+                    )
+                    LOGGER.info(
+                        "hnsw build: scanned %d/%d level-0 batches (%.1fs)",
+                        min(s + SEG, nb_total), nb_total, time.time() - t_scan,
+                    )
+                carry = jax.block_until_ready(carry)
+                if use_pq_build:
+                    dev_n0, dev_d0, nbr_desc = carry
+                else:
+                    dev_n0, dev_d0 = carry
 
         # ---- phase 2: refinement passes over the finished graph ----
         N_CEIL = -(-N // B) * B  # fast path accumulators padded to whole batches
         for it in range(max(0, params.refine_iters)):
             LOGGER.info("hnsw refine pass %d/%d", it + 1, params.refine_iters)
+            if use_scan:
+                # refine as two scans: (a) re-search + re-select every node's
+                # forward edges against the FROZEN graph, (b) rebuild L0 and
+                # merge reverse edges chunk by chunk.
+                def _ref_body(carry, nodes_row, frozen, n0f, d0f, descf):
+                    acc_ids, acc_d = carry
+                    _, ids_d, dists_d = _search_l0(frozen, n0f, descf, nodes_row, efC)
+                    nodes_key = jnp.where(nodes_row >= N, jnp.int32(-2), nodes_row)
+                    all_ids, all_d = refine_union_candidates(
+                        n0f, d0f, nodes_key, ids_d, dists_d
+                    )
+                    sel, sel_dv = batch_select_from_search(
+                        frozen["feats"], all_ids, all_d, M=M, metric=metric,
+                        sketch=frozen["sketch"], pool=sel_pool,
+                    )
+                    acc_ids, acc_d = scatter_set_rows_d(
+                        acc_ids, acc_d, nodes_row, sel, sel_dv
+                    )
+                    return (acc_ids, acc_d), None
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def _run_refine(carry, frozen, n0f, d0f, descf, xs):
+                    return jax.lax.scan(
+                        lambda c, x: _ref_body(c, x, frozen, n0f, d0f, descf), carry, xs
+                    )[0]
+
+                nbatch = N_CEIL // B
+                nbatch_pad = -(-nbatch // SEG) * SEG
+                nodes_all = np.full(nbatch_pad * B, N_CEIL, np.int32)
+                nodes_all[:N] = np.arange(N, dtype=np.int32)
+                nodes_mat = nodes_all.reshape(nbatch_pad, B)
+                carry = (
+                    jnp.full((N_CEIL, M), -1, jnp.int32),
+                    jnp.full((N_CEIL, M), INF, jnp.float32),
+                )
+                t_ref = time.time()
+                for s in range(0, nbatch_pad, SEG):
+                    carry = _run_refine(
+                        carry, frozen_common, dev_n0, dev_d0, nbr_desc,
+                        jnp.asarray(nodes_mat[s : s + SEG]),
+                    )
+                    LOGGER.info(
+                        "hnsw refine: scanned %d/%d batches (%.1fs)",
+                        min(s + SEG, nbatch_pad), nbatch_pad, time.time() - t_ref,
+                    )
+                new_ids, new_d = jax.block_until_ready(carry)
+                dev_n0 = jnp.concatenate(
+                    [new_ids[:N], jnp.full((N, maxM0 - M), -1, jnp.int32)], axis=1
+                )
+                dev_d0 = jnp.concatenate(
+                    [new_d[:N], jnp.full((N, maxM0 - M), INF, jnp.float32)], axis=1
+                )
+                if use_pq_build:
+                    nbr_desc = None  # free the stale descriptor array first
+                    nbr_desc = pack_rows_codes(codes_d, dev_n0)
+
+                def _merge_body(carry, s0, newi, newdv, codesf):
+                    if use_pq_build:
+                        n0, d0, desc = carry
+                        n0, d0, desc = reverse_merge_chunk_packed(
+                            n0, d0, desc, codesf, newi, newdv, s0, B=B
+                        )
+                        return (n0, d0, desc), None
+                    n0, d0 = carry
+                    n0, d0 = reverse_merge_chunk(n0, d0, newi, newdv, s0, B=B)
+                    return (n0, d0), None
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def _run_merge(carry, newi, newdv, codesf, xs):
+                    return jax.lax.scan(
+                        lambda c, x: _merge_body(c, x, newi, newdv, codesf), carry, xs
+                    )[0]
+
+                s0s = jnp.arange(0, N_CEIL, B, dtype=jnp.int32)
+                carry = (dev_n0, dev_d0, nbr_desc) if use_pq_build else (dev_n0, dev_d0)
+                carry = _run_merge(carry, new_ids, new_d, codes_d, s0s)
+                if use_pq_build:
+                    dev_n0, dev_d0, nbr_desc = carry
+                else:
+                    dev_n0, dev_d0 = carry
+                continue
             if fast:
                 new_ids = jnp.full((N_CEIL, M), -1, jnp.int32)
                 new_d = jnp.full((N_CEIL, M), INF, jnp.float32)

@@ -184,6 +184,9 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--M", type=int, default=32)
     ap.add_argument("--efC", type=int, default=100)
+    ap.add_argument("--refine-iters", type=int, default=1, help="tpu engine only")
+    ap.add_argument("--build-efC", type=int, default=0,
+                    help="tpu engine only: wider build/refine search beam (0 = efC)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--efS", type=int, nargs="*", default=[25, 50, 100, 200])
     ap.add_argument(
@@ -255,7 +258,8 @@ def main():
 
         t0 = time.time()
         model = HNSW.train(
-            X, M=args.M, efC=args.efC, metric_type=args.metric, data_type="csr"
+            X, M=args.M, efC=args.build_efC or args.efC, metric_type=args.metric,
+            data_type="csr", refine_iters=args.refine_iters,
         )
         build_s = time.time() - t0
         print(f"tpu sparse build: {build_s:.1f}s", flush=True)
@@ -272,7 +276,8 @@ def main():
             sweep.append({"efS": efS, "recall_at_10": r, "qps": best})
             print(f"tpu efS={efS}: recall@10={r:.4f} qps={best:.0f}", flush=True)
         out = {"engine": "pecos_tpu-sparse", "n": X.shape[0], "d": X.shape[1],
-               "M": args.M, "efC": args.efC, "metric": args.metric,
+               "M": args.M, "efC": args.build_efC or args.efC, "metric": args.metric,
+               "refine_iters": args.refine_iters,
                "build_seconds": build_s, "sweep": sweep}
         suffix = "" if args.metric == "ip" else f"_{args.metric}"
         if args.corpus == "smooth":

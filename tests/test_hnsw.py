@@ -162,6 +162,38 @@ def test_pq_guided_build_recall():
     assert (np.diff(dists, axis=1) >= -1e-5).all()
 
 
+def test_scan_build_recall():
+    """build_scan="true" forces the lax.scan megakernel build (upper-level
+    points inserted eagerly first, level-0 sweep + refine + reverse-merge as
+    scans); graph quality must track the eager build.  Covers the dense,
+    dense+PQ-guided and sparse variants at forced-small scale (auto only
+    enables the scan at N >= 65536)."""
+    X, Q = _data(n=600, nq=50, d=32, seed=13)
+    true_ids = _exact_topk(X, Q, 10, "l2")
+    for extra in (dict(), dict(build_pq="true", build_pq_min_points=0)):
+        model = HNSW.train(
+            X, M=16, efC=80, metric_type="l2", build_batch_size=128,
+            build_scan="true", **extra,
+        )
+        ids, _ = model.predict(Q, efS=100, topk=10)
+        rec = _recall(ids, true_ids)
+        assert rec >= 0.97, f"scan build recall={rec} ({extra})"
+
+    Xs, Qs = _sparse_data(n=500, nq=30, d=4096, seed=14)
+    m = HNSW.train(
+        Xs, M=8, efC=60, data_type="csr", build_batch_size=128, build_scan="true"
+    )
+    m_eager = HNSW.train(
+        Xs, M=8, efC=60, data_type="csr", build_batch_size=128, build_scan="false"
+    )
+    i1, _ = m.predict(Qs, efS=60, topk=5)
+    i2, _ = m_eager.predict(Qs, efS=60, topk=5)
+    # same operating point: the scanned sparse build must stay within a few
+    # points of the eager build's agreement with itself
+    agree = (np.asarray(i1) == np.asarray(i2)).mean()
+    assert agree > 0.6, f"scan/eager sparse overlap {agree}"
+
+
 def test_sparse_save_load_identical(tmp_path):
     X, Q = _sparse_data(n=300, nq=10, d=4096, seed=4)
     model = HNSW.train(X, M=8, efC=40, data_type="csr", build_batch_size=128)
