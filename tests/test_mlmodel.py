@@ -246,3 +246,34 @@ def test_l1_hinge_solver_vs_sklearn():
 
         ours, theirs = hinge_obj(W[:, l]), hinge_obj(sk.coef_.ravel())
         assert ours <= theirs * 1.02 + 1e-6, (ours, theirs)
+
+
+def test_solve_sparse_rows_dense_vs_scatter_layout():
+    """solve_sparse_rows has two X layouts — densified MXU matmuls (small
+    P*Db) and chunked gather/scatter (huge clusters).  Same Newton-CG driver,
+    so the solutions must agree to float tolerance on an identical problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from pecos_tpu.xmc import solvers
+
+    rng = np.random.default_rng(3)
+    P, xcap, Db, ns = 120, 10, 50, 6
+    ids = rng.integers(0, Db, size=(P, xcap)).astype(np.int32)
+    vals = rng.standard_normal((P, xcap)).astype(np.float32)
+    y = np.where(rng.uniform(size=(P, ns)) < 0.25, 1.0, -1.0).astype(np.float32)
+    c = np.where(y > 0, 1.0, 0.5).astype(np.float32)
+    args = (jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(y), jnp.asarray(c))
+
+    W_dense = np.asarray(solvers.solve_sparse_rows(*args, Db=Db, loss="sqhinge"))
+    old = solvers._GLOBAL_DENSE_BUDGET
+    try:
+        solvers._GLOBAL_DENSE_BUDGET = 0  # force the scatter layout
+        jax.clear_caches()  # the layout choice is baked in at trace time
+        W_scatter = np.asarray(solvers.solve_sparse_rows(*args, Db=Db, loss="sqhinge"))
+    finally:
+        solvers._GLOBAL_DENSE_BUDGET = old
+        jax.clear_caches()
+    assert np.allclose(W_dense, W_scatter, rtol=2e-3, atol=2e-4), (
+        np.abs(W_dense - W_scatter).max()
+    )
