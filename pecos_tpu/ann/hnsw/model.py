@@ -524,8 +524,12 @@ class HNSW(pecos_tpu.BaseClass):
         # corpus) go through this eager loop — at ALL their levels, L0
         # included, so the frozen upper hierarchy + every greedy-descent
         # landing node exist before the scanned level-0 sweep starts.
+        # auto applies to DENSE corpora only: the dense 1M scan build is
+        # measured at recall parity (benchmarks/README.md); sparse scans are
+        # opt-in (build_scan="true") until an at-scale sparse recall
+        # measurement against ground truth exists.
         use_scan = params.build_scan == "true" or (
-            params.build_scan == "auto" and fast and N >= 65536
+            params.build_scan == "auto" and fast and N >= 65536 and not use_sparse
         )
         if use_scan and not fast:
             LOGGER.warning("build_scan requires the device-resident (fast) path; ignoring")
@@ -732,34 +736,56 @@ class HNSW(pecos_tpu.BaseClass):
 
         # ---- phase 2: refinement passes over the finished graph ----
         N_CEIL = -(-N // B) * B  # fast path accumulators padded to whole batches
+        if use_scan and params.refine_iters > 0:
+            # scan-mode refine wrappers, hoisted ABOVE the refine loop so
+            # refine_iters > 1 reuses the compiled executables (defining them
+            # per-iteration would re-trace + re-compile each pass — expensive
+            # through the remote-compile tunnel the scan mode exists to avoid)
+            def _ref_body(carry, nodes_row, frozen, n0f, d0f, descf):
+                acc_ids, acc_d = carry
+                _, ids_d, dists_d = _search_l0(frozen, n0f, descf, nodes_row, efC)
+                nodes_key = jnp.where(nodes_row >= N, jnp.int32(-2), nodes_row)
+                all_ids, all_d = refine_union_candidates(
+                    n0f, d0f, nodes_key, ids_d, dists_d
+                )
+                sel, sel_dv = batch_select_from_search(
+                    frozen["feats"], all_ids, all_d, M=M, metric=metric,
+                    sketch=frozen["sketch"], pool=sel_pool,
+                )
+                acc_ids, acc_d = scatter_set_rows_d(
+                    acc_ids, acc_d, nodes_row, sel, sel_dv
+                )
+                return (acc_ids, acc_d), None
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _run_refine(carry, frozen, n0f, d0f, descf, xs):
+                return jax.lax.scan(
+                    lambda c, x: _ref_body(c, x, frozen, n0f, d0f, descf), carry, xs
+                )[0]
+
+            def _merge_body(carry, s0, newi, newdv, codesf):
+                if use_pq_build:
+                    n0, d0, desc = carry
+                    n0, d0, desc = reverse_merge_chunk_packed(
+                        n0, d0, desc, codesf, newi, newdv, s0, B=B
+                    )
+                    return (n0, d0, desc), None
+                n0, d0 = carry
+                n0, d0 = reverse_merge_chunk(n0, d0, newi, newdv, s0, B=B)
+                return (n0, d0), None
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _run_merge(carry, newi, newdv, codesf, xs):
+                return jax.lax.scan(
+                    lambda c, x: _merge_body(c, x, newi, newdv, codesf), carry, xs
+                )[0]
+
         for it in range(max(0, params.refine_iters)):
             LOGGER.info("hnsw refine pass %d/%d", it + 1, params.refine_iters)
             if use_scan:
                 # refine as two scans: (a) re-search + re-select every node's
                 # forward edges against the FROZEN graph, (b) rebuild L0 and
                 # merge reverse edges chunk by chunk.
-                def _ref_body(carry, nodes_row, frozen, n0f, d0f, descf):
-                    acc_ids, acc_d = carry
-                    _, ids_d, dists_d = _search_l0(frozen, n0f, descf, nodes_row, efC)
-                    nodes_key = jnp.where(nodes_row >= N, jnp.int32(-2), nodes_row)
-                    all_ids, all_d = refine_union_candidates(
-                        n0f, d0f, nodes_key, ids_d, dists_d
-                    )
-                    sel, sel_dv = batch_select_from_search(
-                        frozen["feats"], all_ids, all_d, M=M, metric=metric,
-                        sketch=frozen["sketch"], pool=sel_pool,
-                    )
-                    acc_ids, acc_d = scatter_set_rows_d(
-                        acc_ids, acc_d, nodes_row, sel, sel_dv
-                    )
-                    return (acc_ids, acc_d), None
-
-                @functools.partial(jax.jit, donate_argnums=(0,))
-                def _run_refine(carry, frozen, n0f, d0f, descf, xs):
-                    return jax.lax.scan(
-                        lambda c, x: _ref_body(c, x, frozen, n0f, d0f, descf), carry, xs
-                    )[0]
-
                 nbatch = N_CEIL // B
                 nbatch_pad = -(-nbatch // SEG) * SEG
                 nodes_all = np.full(nbatch_pad * B, N_CEIL, np.int32)
@@ -789,23 +815,6 @@ class HNSW(pecos_tpu.BaseClass):
                 if use_pq_build:
                     nbr_desc = None  # free the stale descriptor array first
                     nbr_desc = pack_rows_codes(codes_d, dev_n0)
-
-                def _merge_body(carry, s0, newi, newdv, codesf):
-                    if use_pq_build:
-                        n0, d0, desc = carry
-                        n0, d0, desc = reverse_merge_chunk_packed(
-                            n0, d0, desc, codesf, newi, newdv, s0, B=B
-                        )
-                        return (n0, d0, desc), None
-                    n0, d0 = carry
-                    n0, d0 = reverse_merge_chunk(n0, d0, newi, newdv, s0, B=B)
-                    return (n0, d0), None
-
-                @functools.partial(jax.jit, donate_argnums=(0,))
-                def _run_merge(carry, newi, newdv, codesf, xs):
-                    return jax.lax.scan(
-                        lambda c, x: _merge_body(c, x, newi, newdv, codesf), carry, xs
-                    )[0]
 
                 s0s = jnp.arange(0, N_CEIL, B, dtype=jnp.int32)
                 carry = (dev_n0, dev_d0, nbr_desc) if use_pq_build else (dev_n0, dev_d0)

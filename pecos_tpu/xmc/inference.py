@@ -164,6 +164,45 @@ def prepare_queries_padded(
     return ids, vals
 
 
+def pack_query_ids(ids: np.ndarray, D: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Bit-pack padded (B, cap) int32 query ids for the host->device wire.
+
+    The tunnel to the device moves ~70 MB/s, so wire bytes ARE end-to-end
+    latency (scripts/probe_wire.py); ids only need ceil(log2(D+2)) bits.
+    Encoding: low 16 bits as uint16, the remaining hi_bits per id packed
+    32//hi_bits-per-word into uint32.  Exact for any D < 2**32; at the
+    Wiki-500K geometry (18-bit ids) this is 2.25 B/id instead of 4.
+    Returns (lo (B, cap) uint16, hi (B, nwords) uint32).
+    """
+    B, cap = ids.shape
+    lo = (ids & 0xFFFF).astype(np.uint16)
+    hi_bits = max(0, int(D + 1).bit_length() - 16)
+    if hi_bits == 0:
+        return lo, np.zeros((B, 1), np.uint32)
+    per = 32 // hi_bits
+    nwords = -(-cap // per)
+    hi = (ids.astype(np.uint32) >> 16).astype(np.uint32)
+    if nwords * per != cap:
+        hi = np.concatenate([hi, np.zeros((B, nwords * per - cap), np.uint32)], axis=1)
+    hi = hi.reshape(B, nwords, per)
+    shifts = (np.arange(per, dtype=np.uint32) * hi_bits).astype(np.uint32)
+    packed = np.bitwise_or.reduce(hi << shifts[None, None, :], axis=2)
+    return lo, packed
+
+
+def unpack_query_ids(lo: jax.Array, hi: jax.Array, D: int, cap: int) -> jax.Array:
+    """Device-side inverse of pack_query_ids -> (B, cap) int32."""
+    idl = lo.astype(jnp.int32)
+    hi_bits = max(0, int(D + 1).bit_length() - 16)
+    if hi_bits == 0:
+        return idl
+    per = 32 // hi_bits
+    hiw = jnp.repeat(hi, per, axis=1)[:, :cap]  # (B, cap) uint32
+    shift = (jnp.arange(cap, dtype=jnp.uint32) % per) * hi_bits
+    idh = (hiw >> shift[None, :]) & jnp.uint32((1 << hi_bits) - 1)
+    return idl | (idh.astype(jnp.int32) << 16)
+
+
 def scatter_queries(ids: jax.Array, vals: jax.Array, D: int, bias: float) -> jax.Array:
     """Device-side densification: (B, cap) ids/vals -> (B, D+1) dense with bias.
 
@@ -611,6 +650,34 @@ class CompiledHierModel:
             self._cache[key] = fn
         return self._cache[key]
 
+    def _wire_predictor(
+        self,
+        beam_size: int,
+        only_topk: int,
+        pp_names: Tuple[str, ...],
+        batch: int,
+        cap: int,
+        val_dtype: str = "float32",
+    ):
+        """Predictor taking the compact wire format (packed ids + vals).
+
+        Same beam walk as _sparse_predictor; the only difference is the
+        device-side id unpack (a handful of VPU shifts per query nonzero,
+        ~0.1% of the intersection's work) and an optional bf16 value cast.
+        """
+        key = ("wire", beam_size, only_topk, pp_names, batch, cap, val_dtype)
+        if key not in self._cache:
+            D = self.nr_features
+            inner = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
+
+            @jax.jit
+            def fn(lo, hi, vals, layers):
+                ids = unpack_query_ids(lo, hi, D, cap)
+                return inner(ids, vals.astype(jnp.float32), layers)
+
+            self._cache[key] = fn
+        return self._cache[key]
+
     def predict(
         self,
         X,
@@ -619,11 +686,18 @@ class CompiledHierModel:
         only_topk: int = 20,
         post_processor="l3-hinge",
         batch_size: int = 1024,
+        wire_value_dtype: str = "float32",
     ) -> smat.csr_matrix:
         """Host-facing predict: any X (sparse/dense) -> sorted top-k CSR.
 
         ``post_processor`` may be a single name (applied to every layer, like
         the C++ override) or a tuple of per-layer names.
+
+        ``wire_value_dtype``: dtype of query values on the host->device wire
+        ("float32" exact, or "bfloat16" to halve their wire bytes — scores are
+        then computed from values rounded to 8 mantissa bits; measured top-k
+        agreement at the Wiki-500K geometry is in benchmarks/README.md).
+        Query ids always travel bit-packed (exact; see pack_query_ids).
         """
         if X.shape[1] != self.nr_features:
             raise ValueError(
@@ -653,19 +727,36 @@ class CompiledHierModel:
             # per-batch slicing + fresh padded allocations page-fault every
             # batch (~30 ms each, measured), while one big prep is ~40 ms
             # warm for 8K queries and the per-batch jnp.asarray slices then
-            # pipeline behind device compute
+            # pipeline behind device compute.  The wire format is bit-packed
+            # ids (+ optionally bf16 values): the tunnel moves ~70 MB/s, so
+            # at Wiki-500K geometry the f32 padded format's uploads cost more
+            # than the whole beam walk (scripts/probe_wire.py).
             ids_all, vals_all = prepare_queries_padded(X)
             cap = ids_all.shape[1]
-            fn = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
+            D = self.nr_features
+            fn = self._wire_predictor(
+                beam_size, only_topk, pp_names, batch, cap, wire_value_dtype
+            )
             if tail:
                 ids_all = np.vstack(
-                    [ids_all, np.full((tail, cap), self.nr_features + 1, np.int32)]
+                    [ids_all, np.full((tail, cap), D + 1, np.int32)]
                 )
                 vals_all = np.vstack([vals_all, np.zeros((tail, cap), np.float32)])
-            ids_r = ids_all.reshape(nb, batch, cap)
+            lo_all, hi_all = pack_query_ids(ids_all, D)
+            if wire_value_dtype != "float32":
+                import ml_dtypes
+
+                vals_all = vals_all.astype(ml_dtypes.bfloat16)
+            lo_r = lo_all.reshape(nb, batch, cap)
+            hi_r = hi_all.reshape(nb, batch, hi_all.shape[1])
             vals_r = vals_all.reshape(nb, batch, cap)
             pending = [
-                fn(jnp.asarray(ids_r[i]), jnp.asarray(vals_r[i]), self.layers)
+                fn(
+                    jnp.asarray(lo_r[i]),
+                    jnp.asarray(hi_r[i]),
+                    jnp.asarray(vals_r[i]),
+                    self.layers,
+                )
                 for i in range(nb)
             ]
         else:

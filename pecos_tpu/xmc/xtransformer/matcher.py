@@ -107,7 +107,15 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         else:
             import transformers
 
-            encoder = model_cls.from_pretrained(train_params.model_shortcut)
+            try:
+                encoder = model_cls.from_pretrained(train_params.model_shortcut)
+            except (EnvironmentError, OSError):
+                # a torch-only checkpoint directory (pytorch_model.bin, the
+                # reference framework's native save format) has no flax
+                # weights; retry converting the torch weights in-place
+                encoder = model_cls.from_pretrained(
+                    train_params.model_shortcut, from_pt=True
+                )
             tokenizer = transformers.AutoTokenizer.from_pretrained(train_params.model_shortcut)
         return encoder, tokenizer
 
@@ -538,7 +546,14 @@ class TransformerMatcher(pecos_tpu.BaseClass):
             {k: v for k, v in param["train_params"].items() if k != "__meta__"}
         )
         _, model_cls, _ = network.resolve_encoder(train_params.model_type)
-        encoder = model_cls.from_pretrained(os.path.join(folder, "encoder"))
+        try:
+            encoder = model_cls.from_pretrained(os.path.join(folder, "encoder"))
+        except (EnvironmentError, OSError):
+            # torch-only checkpoint (e.g. saved by the reference framework):
+            # convert the torch weights to flax on load
+            encoder = model_cls.from_pretrained(
+                os.path.join(folder, "encoder"), from_pt=True
+            )
         tokenizer = transformers.AutoTokenizer.from_pretrained(os.path.join(folder, "tokenizer"))
         z = np.load(os.path.join(folder, "head.npz"))
         head = network.XMCHead(W=z["W"], b=z["b"])
