@@ -203,6 +203,70 @@ def unpack_query_ids(lo: jax.Array, hi: jax.Array, D: int, cap: int) -> jax.Arra
     return idl | (idh.astype(jnp.int32) << 16)
 
 
+def _wire_hi_words(D: int, cap: int) -> int:
+    """uint32 words per row holding the >16-bit id parts (see pack_query_ids)."""
+    hi_bits = max(0, int(D + 1).bit_length() - 16)
+    if hi_bits == 0:
+        return 1
+    return -(-cap // (32 // hi_bits))
+
+
+def encode_wire_batch(
+    ids: np.ndarray, vals: np.ndarray, D: int, val_dtype: str = "float32"
+) -> np.ndarray:
+    """Fuse one batch's queries into ONE contiguous uint16 wire buffer.
+
+    Layout per row: [lo ids (cap u16) | hi words (2*nw u16, lo/hi planes) |
+    values (cap u16 if bfloat16, 2*cap u16 planes if float32)].  One buffer
+    per batch means one host->device transfer per batch, which pipelines
+    cleanly behind device compute on the ~70 MB/s tunnel
+    (scripts/probe_wire.py: transfer count doesn't hurt, serial host prefix
+    before the first transfer does).
+    """
+    B, cap = ids.shape
+    lo, hi = pack_query_ids(ids, D)
+    nw = hi.shape[1]
+    vw = cap if val_dtype == "bfloat16" else 2 * cap
+    buf = np.empty((B, cap + 2 * nw + vw), np.uint16)
+    buf[:, :cap] = lo
+    buf[:, cap : cap + nw] = (hi & np.uint32(0xFFFF)).astype(np.uint16)
+    buf[:, cap + nw : cap + 2 * nw] = (hi >> np.uint32(16)).astype(np.uint16)
+    if val_dtype == "bfloat16":
+        import ml_dtypes
+
+        buf[:, cap + 2 * nw :] = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
+    else:
+        v32 = np.ascontiguousarray(vals, np.float32).view(np.uint32)
+        buf[:, cap + 2 * nw : cap + 2 * nw + cap] = (v32 & np.uint32(0xFFFF)).astype(
+            np.uint16
+        )
+        buf[:, cap + 2 * nw + cap :] = (v32 >> np.uint32(16)).astype(np.uint16)
+    return buf
+
+
+def decode_wire_batch(
+    buf: jax.Array, D: int, cap: int, val_dtype: str = "float32"
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-side inverse of encode_wire_batch -> (ids int32, vals float32)."""
+    nw = _wire_hi_words(D, cap)
+    lo = buf[:, :cap]
+    hi = buf[:, cap : cap + nw].astype(jnp.uint32) | (
+        buf[:, cap + nw : cap + 2 * nw].astype(jnp.uint32) << 16
+    )
+    ids = unpack_query_ids(lo, hi, D, cap)
+    voff = cap + 2 * nw
+    if val_dtype == "bfloat16":
+        vals = jax.lax.bitcast_convert_type(buf[:, voff:], jnp.bfloat16).astype(
+            jnp.float32
+        )
+    else:
+        v32 = buf[:, voff : voff + cap].astype(jnp.uint32) | (
+            buf[:, voff + cap :].astype(jnp.uint32) << 16
+        )
+        vals = jax.lax.bitcast_convert_type(v32, jnp.float32)
+    return ids, vals
+
+
 def scatter_queries(ids: jax.Array, vals: jax.Array, D: int, bias: float) -> jax.Array:
     """Device-side densification: (B, cap) ids/vals -> (B, D+1) dense with bias.
 
@@ -302,8 +366,32 @@ def score_candidates_sparse(
     else:
         wi = layer.feat_ids[cand]  # (N, Kp, P) row gathers (cheap)
         wv = layer.feat_vals[cand].astype(jnp.float32)
-    out = _intersect_scores(qids, qvals, wi, wv, chunk, bias_id, bias_val)
+    out = _dispatch_intersect(qids, qvals, wi, wv, chunk, bias_id, bias_val)
     return out[:, :K]
+
+
+def _dispatch_intersect(qids, qvals, wi, wv, chunk, bias_id, bias_val):
+    """Route the intersection to the fused Pallas kernel on TPU (measured
+    ~1.2x the XLA scan at the Wiki-500K geometry, same values to 1 ulp of
+    the final P-reduction; pecos_tpu/ops/intersect.py) and to the XLA scan
+    elsewhere.  Override with PECOS_TPU_PALLAS_INTERSECT=0/1."""
+    mode = os.environ.get("PECOS_TPU_PALLAS_INTERSECT", "auto")
+    if mode != "0":
+        from pecos_tpu.ops import intersect as ops_intersect
+
+        N, Kp, P = wi.shape
+        ok = ops_intersect.supports_shapes(N, Kp, P, qids.shape[1])
+        backend_ok = mode == "1"
+        if mode == "auto":
+            try:
+                backend_ok = jax.default_backend() == "tpu"
+            except Exception:
+                backend_ok = False
+        if ok and backend_ok:
+            return ops_intersect.intersect_scores_pallas(
+                qids, qvals, wi, wv, bias_id=bias_id, bias_val=bias_val
+            )
+    return _intersect_scores(qids, qvals, wi, wv, chunk, bias_id, bias_val)
 
 
 def _intersect_scores(qids, qvals, wi, wv, chunk, bias_id, bias_val):
@@ -366,7 +454,7 @@ def score_candidates_sparse_parents(
         w = jnp.concatenate([w, jnp.zeros((N, pad_k, twoP), w.dtype)], axis=1)
     wi = w[..., :P]
     wv = jax.lax.bitcast_convert_type(w[..., P:], jnp.float32)
-    out = _intersect_scores(qids, qvals, wi, wv, chunk, bias_id, bias_val)
+    out = _dispatch_intersect(qids, qvals, wi, wv, chunk, bias_id, bias_val)
     return out[:, :K]
 
 
@@ -659,10 +747,10 @@ class CompiledHierModel:
         cap: int,
         val_dtype: str = "float32",
     ):
-        """Predictor taking the compact wire format (packed ids + vals).
+        """Predictor taking the fused uint16 wire buffer (encode_wire_batch).
 
         Same beam walk as _sparse_predictor; the only difference is the
-        device-side id unpack (a handful of VPU shifts per query nonzero,
+        device-side unpack (a handful of VPU shifts per query nonzero,
         ~0.1% of the intersection's work) and an optional bf16 value cast.
         """
         key = ("wire", beam_size, only_topk, pp_names, batch, cap, val_dtype)
@@ -671,9 +759,9 @@ class CompiledHierModel:
             inner = self._sparse_predictor(beam_size, only_topk, pp_names, batch, cap)
 
             @jax.jit
-            def fn(lo, hi, vals, layers):
-                ids = unpack_query_ids(lo, hi, D, cap)
-                return inner(ids, vals.astype(jnp.float32), layers)
+            def fn(buf, layers):
+                ids, vals = decode_wire_batch(buf, D, cap, val_dtype)
+                return inner(ids, vals, layers)
 
             self._cache[key] = fn
         return self._cache[key]
@@ -723,42 +811,34 @@ class CompiledHierModel:
         # per-batch uploads + one fetch 18.4K — fetches serialize the stream,
         # uploads pipeline.
         if sparse_input:
-            # upfront whole-set prep beats per-batch prep on this host:
-            # per-batch slicing + fresh padded allocations page-fault every
-            # batch (~30 ms each, measured), while one big prep is ~40 ms
-            # warm for 8K queries and the per-batch jnp.asarray slices then
-            # pipeline behind device compute.  The wire format is bit-packed
-            # ids (+ optionally bf16 values): the tunnel moves ~70 MB/s, so
-            # at Wiki-500K geometry the f32 padded format's uploads cost more
-            # than the whole beam walk (scripts/probe_wire.py).
-            ids_all, vals_all = prepare_queries_padded(X)
-            cap = ids_all.shape[1]
+            # PER-BATCH prep + upload: prepping the whole set first is a
+            # serial host prefix (~60-100 ms at 8K queries) during which the
+            # ~70 MB/s tunnel sits idle; prepping one batch (~5 ms), enqueuing
+            # its (async) upload + dispatch, then prepping the next overlaps
+            # host pack, wire, and device compute three ways
+            # (scripts/probe_e2e.py).  Each batch travels as ONE fused
+            # bit-packed uint16 buffer (encode_wire_batch): at Wiki-500K
+            # geometry the naive f32 padded format's uploads cost more than
+            # the whole beam walk (scripts/probe_wire.py).
+            A = X.tocsr()
             D = self.nr_features
+            row_nnz = np.diff(A.indptr)
+            max_nnz = int(row_nnz.max()) if N else 1
+            cap = max(64, 1 << max(0, max_nnz - 1).bit_length())
             fn = self._wire_predictor(
                 beam_size, only_topk, pp_names, batch, cap, wire_value_dtype
             )
-            if tail:
-                ids_all = np.vstack(
-                    [ids_all, np.full((tail, cap), D + 1, np.int32)]
+            pending = []
+            for i in range(nb):
+                ids_b, vals_b = prepare_queries_padded(
+                    A[i * batch : (i + 1) * batch], cap=cap
                 )
-                vals_all = np.vstack([vals_all, np.zeros((tail, cap), np.float32)])
-            lo_all, hi_all = pack_query_ids(ids_all, D)
-            if wire_value_dtype != "float32":
-                import ml_dtypes
-
-                vals_all = vals_all.astype(ml_dtypes.bfloat16)
-            lo_r = lo_all.reshape(nb, batch, cap)
-            hi_r = hi_all.reshape(nb, batch, hi_all.shape[1])
-            vals_r = vals_all.reshape(nb, batch, cap)
-            pending = [
-                fn(
-                    jnp.asarray(lo_r[i]),
-                    jnp.asarray(hi_r[i]),
-                    jnp.asarray(vals_r[i]),
-                    self.layers,
-                )
-                for i in range(nb)
-            ]
+                if ids_b.shape[0] < batch:
+                    pad = batch - ids_b.shape[0]
+                    ids_b = np.vstack([ids_b, np.full((pad, cap), D + 1, np.int32)])
+                    vals_b = np.vstack([vals_b, np.zeros((pad, cap), np.float32)])
+                buf = encode_wire_batch(ids_b, vals_b, D, wire_value_dtype)
+                pending.append(fn(jnp.asarray(buf), self.layers))
         else:
             Xd = prepare_queries(X, self.bias)
             fn = self._predictor(beam_size, only_topk, pp_names, batch)

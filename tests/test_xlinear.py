@@ -10,8 +10,7 @@ import pytest
 import scipy.sparse as smat
 
 from pecos_tpu.utils import smat_util
-from pecos_tpu.utils.cluster_util import ClusterChain
-from pecos_tpu.xmc import HierarchicalMLModel, Indexer, LabelEmbeddingFactory, MLProblem
+from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory
 from pecos_tpu.xmc.xlinear import XLinearModel
 
 
@@ -169,3 +168,30 @@ def test_realtime_single_query(trained):
     np.testing.assert_allclose(
         np.asarray(P_batch[:1].todense()), np.asarray(P_single.todense()), rtol=1e-5, atol=1e-6
     )
+
+
+def test_wire_format_roundtrip():
+    """encode_wire_batch/decode_wire_batch must be bit-exact for float32
+    values and exact-on-ids for bfloat16, at several D regimes (hi_bits =
+    0 / 2 / 16)."""
+    import jax
+    from pecos_tpu.xmc.inference import decode_wire_batch, encode_wire_batch
+
+    rng = np.random.default_rng(0)
+    for D in [1000, 2**18, 2**31 - 3]:
+        cap = 24 if D < 2**20 else 8
+        B = 16
+        ids = rng.integers(0, D + 2, size=(B, cap)).astype(np.int32)
+        vals = rng.standard_normal((B, cap)).astype(np.float32)
+        buf = encode_wire_batch(ids, vals, D, "float32")
+        ids2, vals2 = (np.asarray(a) for a in decode_wire_batch(
+            jax.numpy.asarray(buf), D, cap, "float32"))
+        np.testing.assert_array_equal(ids2, ids)
+        np.testing.assert_array_equal(vals2, vals)
+        buf = encode_wire_batch(ids, vals, D, "bfloat16")
+        ids3, vals3 = (np.asarray(a) for a in decode_wire_batch(
+            jax.numpy.asarray(buf), D, cap, "bfloat16"))
+        np.testing.assert_array_equal(ids3, ids)
+        import ml_dtypes
+        np.testing.assert_array_equal(
+            vals3, vals.astype(ml_dtypes.bfloat16).astype(np.float32))
