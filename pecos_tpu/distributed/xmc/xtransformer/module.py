@@ -2,10 +2,13 @@
 
 The reference launches DeepSpeed subprocesses over NCCL with a hostfile
 (pecos/distributed/xmc/xtransformer/module.py:99-160, dist_trainer.py:163).
-On TPU the same scale-out is one line of sharding: batches are placed across
-the mesh's data-parallel axis and XLA emits the gradient all-reduces over
-ICI/DCN.  ZeRO-style optimizer-state sharding is the natural next step
-(shard adamw moments over "lp") and arrives with the multi-pod work.
+On TPU the same scale-out is sharding annotations: batches are placed across
+the mesh's data-parallel axis (XLA emits the gradient all-reduces over
+ICI/DCN) and the AdamW moments are sharded over the FULL mesh — the ZeRO
+stage-1 analog of the reference's deepspeed_config (dist_trainer.py:163) —
+via `pecos_tpu.parallel.mesh.shard_opt_state`, cutting per-device optimizer
+memory ~n_devices x with float-identical updates
+(tests/test_distributed.py::test_zero_analog_opt_state_sharding).
 """
 
 from __future__ import annotations

@@ -236,25 +236,13 @@ class TransformerMatcher(pecos_tpu.BaseClass):
         }
         opt_state = tx.init(params)
         if mesh is not None:
-            # ZeRO-analog: shard optimizer moments across every mesh device
-            # along the first divisible axis; params stay replicated (the
-            # role DeepSpeed ZeRO stage-1 plays in the reference)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # ZeRO-analog: shard optimizer moments across every mesh device;
+            # params stay replicated (the role DeepSpeed ZeRO stage-1 plays
+            # in the reference's dist_trainer.py:163)
+            from pecos_tpu.parallel.mesh import shard_opt_state
 
-            mesh_axes = tuple(mesh.shape.keys())
-            n_dev = int(np.prod(list(mesh.shape.values())))
-
-            def shard_moment(leaf):
-                if not hasattr(leaf, "shape") or leaf.ndim == 0:
-                    return leaf
-                for ax in range(leaf.ndim):
-                    if leaf.shape[ax] % n_dev == 0 and leaf.shape[ax] >= n_dev:
-                        spec = [None] * leaf.ndim
-                        spec[ax] = mesh_axes
-                        return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
-                return leaf
-
-            opt_state = jax.tree_util.tree_map(shard_moment, opt_state)
+            opt_state, n_sharded = shard_opt_state(opt_state, mesh)
+            LOGGER.info("sharded %d optimizer-state leaves over the mesh", n_sharded)
 
         @jax.jit
         def train_step(params, opt_state, batch, dropout_key):

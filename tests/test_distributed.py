@@ -8,8 +8,6 @@ import scipy.sparse as smat
 from pecos_tpu.distributed.xmc import DistClusterChain, DistClustering
 from pecos_tpu.distributed.xmc.xlinear import DistributedXLinearModel, XLinearLoadBalancer
 from pecos_tpu.parallel.comm import DummyComm
-from pecos_tpu.utils import smat_util
-from pecos_tpu.utils.cluster_util import ClusterChain
 from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory
 from pecos_tpu.xmc.xlinear import XLinearModel
 
@@ -199,3 +197,63 @@ def test_fake_cluster_comm_primitives():
     for t in threads:
         t.join(timeout=60)
     assert out["gather"] == [0, 1, 4]
+
+
+def test_zero_analog_opt_state_sharding():
+    """ZeRO-1 analog: AdamW moments sharded over the full mesh must (a) cut
+    per-device moment memory ~n_devices x, (b) keep that sharding through
+    jitted train steps, and (c) produce updates identical to the replicated
+    run.  Reference role: DeepSpeed ZeRO stage-1 in
+    pecos/distributed/xmc/xtransformer/dist_trainer.py:163."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pecos_tpu.parallel.mesh import make_mesh, shard_opt_state
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    assert n_dev == 8  # conftest forces the 8-device CPU mesh
+
+    rng = np.random.default_rng(0)
+    params = {
+        "W": jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32)),
+        "b": jnp.asarray(rng.standard_normal((32,)).astype(np.float32)),
+    }
+    X = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    Y = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    tx = optax.adamw(1e-2, weight_decay=0.01)
+
+    def loss_fn(p):
+        return jnp.mean((X @ p["W"] + p["b"] - Y) ** 2)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss_fn)(p)
+        up, s = tx.update(g, s, p)
+        return optax.apply_updates(p, up), s
+
+    # replicated reference run
+    p_ref, s_ref = params, tx.init(params)
+    for _ in range(3):
+        p_ref, s_ref = step(p_ref, s_ref)
+
+    # sharded run
+    p_sh, s_sh = params, tx.init(params)
+    s_sh, n_sharded = shard_opt_state(s_sh, mesh)
+    assert n_sharded >= 4  # mu/nu for both W and b
+    for _ in range(3):
+        p_sh, s_sh = step(p_sh, s_sh)
+
+    # (c) same updates (to float tolerance: the sharded state compiles a
+    # different XLA program, so fusion differences cost the last ulp)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_ref[k]), np.asarray(p_sh[k]), rtol=3e-6, atol=3e-6
+        )
+
+    # (a)+(b): moments still sharded after jitted steps, 1/n_dev per device
+    mu_W = s_sh[0].mu["W"]
+    shard_shapes = {tuple(sh.data.shape) for sh in mu_W.addressable_shards}
+    assert shard_shapes == {(64 // n_dev, 32)}, shard_shapes
+    assert len(mu_W.addressable_shards) == n_dev
