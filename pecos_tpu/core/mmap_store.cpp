@@ -56,10 +56,11 @@ static inline uint64_t fnv1a(const char* data, uint64_t len) {
 
 struct Header {
     uint64_t magic;
-    uint64_t kind;       // 1 = i2i map, 2 = s2i map, 3 = f32 store, 4 = bytes store
+    uint64_t kind;       // 1 = i2i map, 2 = s2i map, 3 = f32 store, 4 = bytes store,
+                         // 5 = fixed-len str2int map
     uint64_t size;       // number of entries / rows
     uint64_t capacity;   // bucket count (maps) or cols (f32 store)
-    uint64_t blob_bytes; // payload size after buckets
+    uint64_t blob_bytes; // payload size after buckets (kind 5: capacity*key_len)
 };
 
 struct I2IBucket {
@@ -221,6 +222,90 @@ struct S2IMap {
 };
 
 // ---------------------------------------------------------------------------
+// Fixed-length Str -> Int map
+// ---------------------------------------------------------------------------
+// All keys share one compile-time-unknown but per-map-constant byte length
+// (e.g. 10-byte item ids).  Keys live inline in a dense (capacity x key_len)
+// array parallel to the {hash, val} buckets: a lookup is one hash probe plus
+// one fixed-size memcmp at a computed offset -- no (offset, len) indirection
+// into a blob like the generic S2IMap.  Mirrors the role of the reference's
+// fixed-size-string hashmap (pecos/core/utils/mmap_hashmap.hpp:234,443).
+struct FS2IMap {
+    std::vector<I2IBucket> own_buckets;  // key field holds the hash (0 = empty)
+    std::vector<char> own_keys;          // capacity * key_len, zero padded
+    I2IBucket* buckets = nullptr;
+    const char* keys = nullptr;
+    uint64_t capacity = 0;
+    uint64_t size = 0;
+    uint64_t key_len = 0;
+    MmapRegion region;
+
+    void init(uint64_t cap_hint, uint64_t klen) {
+        key_len = klen;
+        capacity = 16;
+        while (capacity < cap_hint * 2) capacity <<= 1;
+        own_buckets.assign(capacity, I2IBucket{0, 0});
+        own_keys.assign(capacity * key_len, 0);
+        buckets = own_buckets.data();
+        keys = own_keys.data();
+        size = 0;
+    }
+
+    void grow() {
+        std::vector<I2IBucket> oldb;
+        std::vector<char> oldk;
+        oldb.swap(own_buckets);
+        oldk.swap(own_keys);
+        uint64_t old_cap = capacity;
+        capacity <<= 1;
+        own_buckets.assign(capacity, I2IBucket{0, 0});
+        own_keys.assign(capacity * key_len, 0);
+        buckets = own_buckets.data();
+        keys = own_keys.data();
+        uint64_t mask = capacity - 1;
+        for (uint64_t i = 0; i < old_cap; ++i) {
+            if (!oldb[i].key) continue;
+            uint64_t j = oldb[i].key & mask;
+            while (buckets[j].key) j = (j + 1) & mask;
+            buckets[j] = oldb[i];
+            std::memcpy(own_keys.data() + j * key_len, oldk.data() + i * key_len, key_len);
+        }
+    }
+
+    void insert(const char* key, int64_t val) {
+        if ((size + 1) * 10 >= capacity * 9) grow();
+        uint64_t h = fnv1a(key, key_len);
+        uint64_t mask = capacity - 1;
+        uint64_t i = h & mask;
+        while (true) {
+            if (!buckets[i].key) {
+                buckets[i] = I2IBucket{h, val};
+                std::memcpy(own_keys.data() + i * key_len, key, key_len);
+                ++size;
+                return;
+            }
+            if (buckets[i].key == h && std::memcmp(keys + i * key_len, key, key_len) == 0) {
+                buckets[i].val = val;
+                return;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+
+    int64_t get(const char* key, int64_t dflt) const {
+        uint64_t h = fnv1a(key, key_len);
+        uint64_t mask = capacity - 1;
+        uint64_t i = h & mask;
+        while (true) {
+            if (!buckets[i].key) return dflt;
+            if (buckets[i].key == h && std::memcmp(keys + i * key_len, key, key_len) == 0)
+                return buckets[i].val;
+            i = (i + 1) & mask;
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
 // common save / load
 // ---------------------------------------------------------------------------
 static bool write_file(const char* path, const Header& h, const void* buckets,
@@ -358,6 +443,64 @@ void* mhm_s2i_load(const char* path, int lazy) {
     m->size = h->size;
     m->blob = base + h->capacity * sizeof(S2IBucket);
     m->blob_bytes = h->blob_bytes;
+    return m;
+}
+
+// ---- fixed-len str2int -------------------------------------------------------
+void* mhm_fs2i_new(uint64_t cap_hint, uint64_t key_len) {
+    if (!key_len) return nullptr;
+    auto* m = new FS2IMap();
+    m->init(cap_hint ? cap_hint : 16, key_len);
+    return m;
+}
+void mhm_fs2i_free(void* p) { delete static_cast<FS2IMap*>(p); }
+void mhm_fs2i_insert(void* p, const char* key, int64_t val) {
+    static_cast<FS2IMap*>(p)->insert(key, val);
+}
+int64_t mhm_fs2i_get(void* p, const char* key, int64_t dflt) {
+    return static_cast<FS2IMap*>(p)->get(key, dflt);
+}
+uint64_t mhm_fs2i_size(void* p) { return static_cast<FS2IMap*>(p)->size; }
+uint64_t mhm_fs2i_key_len(void* p) { return static_cast<FS2IMap*>(p)->key_len; }
+
+// keys laid out back to back, n * key_len bytes
+void mhm_fs2i_batch_get(void* p, uint64_t n, const char* keys, int64_t dflt, int64_t* out,
+                        int threads) {
+    auto* m = static_cast<FS2IMap*>(p);
+#ifdef _OPENMP
+    if (threads > 0) omp_set_num_threads(threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < (int64_t)n; ++i) out[i] = m->get(keys + i * m->key_len, dflt);
+}
+
+int mhm_fs2i_save(void* p, const char* path) {
+    auto* m = static_cast<FS2IMap*>(p);
+    const char* keys = m->own_keys.empty() ? m->keys : m->own_keys.data();
+    Header h{MAGIC, 5, m->size, m->capacity, m->capacity * m->key_len};
+    return write_file(path, h, m->buckets, m->capacity * sizeof(I2IBucket), keys, h.blob_bytes)
+               ? 0
+               : 1;
+}
+
+void* mhm_fs2i_load(const char* path, int lazy) {
+    size_t bytes = 0;
+    void* addr = map_file(path, &bytes, lazy != 0);
+    if (!addr) return nullptr;
+    auto* h = static_cast<Header*>(addr);
+    if (h->magic != MAGIC || h->kind != 5 || !h->capacity || h->blob_bytes % h->capacity) {
+        munmap(addr, bytes);
+        return nullptr;
+    }
+    auto* m = new FS2IMap();
+    m->region.addr = addr;
+    m->region.bytes = bytes;
+    char* base = static_cast<char*>(addr) + sizeof(Header);
+    m->buckets = reinterpret_cast<I2IBucket*>(base);
+    m->capacity = h->capacity;
+    m->size = h->size;
+    m->key_len = h->blob_bytes / h->capacity;
+    m->keys = base + h->capacity * sizeof(I2IBucket);
     return m;
 }
 

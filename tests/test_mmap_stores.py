@@ -91,3 +91,36 @@ def test_bytes_store(tmp_path):
     loaded = BytesStore.load(path)
     got2 = loaded.batch_get(np.array([1], np.uint64), trunc_len=100)
     assert got2[0] == strs[1].encode()
+
+
+def test_fstr2int_roundtrip(tmp_path):
+    """Fixed-length-key str2int: insert/get/batch/save/load (+lazy), and the
+    key-length contract is enforced."""
+    import pytest
+    from pecos_tpu.utils.mmap_hashmap_util import MmapHashmap
+
+    path = str(tmp_path / "fs2i.bin")
+    m = MmapHashmap("fstr2int", key_len=10).open("w", path)
+    keys = [f"item{i:06d}".encode() for i in range(1000)]
+    for i, k in enumerate(keys):
+        m.map.insert(k, i * 3)
+    assert m.map.size() == 1000
+    assert m.map.get(keys[7]) == 21
+    assert m.map.get(b"missing-xx", default=-5) == -5
+    with pytest.raises(ValueError):
+        m.map.insert(b"short", 1)
+    m.close()
+
+    for mode in ("r", "r_lazy"):
+        r = MmapHashmap("fstr2int").open(mode, path)
+        assert r.key_len == 10
+        assert r.map.size() == 1000
+        got = r.map.batch_get(keys[:100] + [b"nothere123"], default=-1)
+        assert list(got[:100]) == [i * 3 for i in range(100)]
+        assert got[100] == -1
+        # packed-buffer batch form
+        got2 = r.map.batch_get(b"".join(keys[:5]))
+        assert list(got2) == [0, 3, 6, 9, 12]
+        with pytest.raises(RuntimeError):
+            r.map.insert(keys[0], 1)
+        r.close()
