@@ -28,7 +28,7 @@ import json
 import os
 import sys
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import scipy.sparse as smat

@@ -33,13 +33,10 @@ from .graph import (
     DeviceGraph,
     SparseBlock,
     SparseFeats,
-    batch_greedy_descent,
     batch_greedy_descent_multi,
     batch_search_level,
-    batch_select_neighbors,
     build_sparse_feats,
     gather_dist,
-    pairwise_dist,
     scatter_prune_rows,
     scatter_prune_rows_alg4,
 )

@@ -4,7 +4,6 @@ Mimics what a PECOS user does: build label features, index, train an
 XR-Linear model, save, reload, predict, evaluate.
 """
 
-import sys
 import time
 
 import numpy as np

@@ -1,9 +1,7 @@
-import dataclasses as dc
-
 import pytest
 
 import pecos_tpu
-from pecos_tpu.xmc import MLModel, HierarchicalMLModel
+from pecos_tpu.xmc import MLModel
 
 
 def test_params_roundtrip():

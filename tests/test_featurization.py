@@ -1,6 +1,4 @@
 import numpy as np
-import pytest
-import scipy.sparse as smat
 
 from pecos_tpu.utils.featurization.text import Preprocessor, Tfidf, Vectorizer
 

@@ -5,7 +5,6 @@ output-constraint tests, test_clib.py Platt fit)."""
 import numpy as np
 import scipy.sparse as smat
 
-from pecos_tpu.xmc import MLProblem
 from pecos_tpu.xmc.calibration import apply_platt, fit_platt_transform
 from pecos_tpu.xmc.xlinear import XLinearModel
 from pecos_tpu.xmc import Indexer, LabelEmbeddingFactory
