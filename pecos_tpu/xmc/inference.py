@@ -155,6 +155,13 @@ def prepare_queries_padded(
         max_nnz = int(nnz.max()) if A.shape[0] else 1
         cap = max(round_to, 1 << (max_nnz - 1).bit_length())
     D = A.shape[1]
+    if A.shape[0] and A.nnz == A.shape[0] * cap and int(nnz.max()) == cap:
+        # uniform-nnz fast path (synthetic benches, fixed-width tokenizers):
+        # the padded layout is just a reshape of the CSR arrays
+        return (
+            np.ascontiguousarray(A.indices.reshape(A.shape[0], cap), np.int32),
+            np.ascontiguousarray(A.data.reshape(A.shape[0], cap), np.float32),
+        )
     ids = np.full((A.shape[0], cap), D + 1, dtype=np.int32)
     vals = np.zeros((A.shape[0], cap), dtype=np.float32)
     rows = np.repeat(np.arange(A.shape[0]), nnz)
@@ -217,7 +224,7 @@ def encode_wire_batch(
     """Fuse one batch's queries into ONE contiguous uint16 wire buffer.
 
     Layout per row: [lo ids (cap u16) | hi words (2*nw u16, lo/hi planes) |
-    values (cap u16 if bfloat16, 2*cap u16 planes if float32)].  One buffer
+    values (cap u16 if float16/bfloat16, 2*cap u16 planes if float32)].  One buffer
     per batch means one host->device transfer per batch, which pipelines
     cleanly behind device compute on the ~70 MB/s tunnel
     (scripts/probe_wire.py: transfer count doesn't hurt, serial host prefix
@@ -226,12 +233,34 @@ def encode_wire_batch(
     B, cap = ids.shape
     lo, hi = pack_query_ids(ids, D)
     nw = hi.shape[1]
-    vw = cap if val_dtype == "bfloat16" else 2 * cap
+    if val_dtype == "uint8":
+        vw = cap // 2 + 1
+    elif val_dtype in ("bfloat16", "float16"):
+        vw = cap
+    else:
+        vw = 2 * cap
     buf = np.empty((B, cap + 2 * nw + vw), np.uint16)
     buf[:, :cap] = lo
     buf[:, cap : cap + nw] = (hi & np.uint32(0xFFFF)).astype(np.uint16)
     buf[:, cap + nw : cap + 2 * nw] = (hi >> np.uint32(16)).astype(np.uint16)
-    if val_dtype == "bfloat16":
+    if val_dtype == "uint8":
+        # per-row absmax step (f16) + signed 8-bit multiples, 2 per word;
+        # quantize against the f16-rounded step the decoder will multiply by
+        assert cap % 2 == 0
+        scale = np.maximum(np.abs(vals).max(axis=1), 1e-30)
+        step = (scale / 127.0).astype(np.float16)
+        q = np.clip(
+            np.rint(vals / step.astype(np.float32)[:, None]), -127, 127
+        ).astype(np.int8)
+        qu = q.view(np.uint8)
+        voff = cap + 2 * nw
+        buf[:, voff : voff + cap // 2] = qu[:, 0::2].astype(np.uint16) | (
+            qu[:, 1::2].astype(np.uint16) << 8
+        )
+        buf[:, voff + cap // 2] = step.view(np.uint16)
+    elif val_dtype == "float16":
+        buf[:, cap + 2 * nw :] = vals.astype(np.float16).view(np.uint16)
+    elif val_dtype == "bfloat16":
         import ml_dtypes
 
         buf[:, cap + 2 * nw :] = vals.astype(ml_dtypes.bfloat16).view(np.uint16)
@@ -255,7 +284,20 @@ def decode_wire_batch(
     )
     ids = unpack_query_ids(lo, hi, D, cap)
     voff = cap + 2 * nw
-    if val_dtype == "bfloat16":
+    if val_dtype == "uint8":
+        w = buf[:, voff : voff + cap // 2]
+        b0 = jax.lax.bitcast_convert_type((w & jnp.uint16(0xFF)).astype(jnp.uint8), jnp.int8)
+        b1 = jax.lax.bitcast_convert_type((w >> jnp.uint16(8)).astype(jnp.uint8), jnp.int8)
+        q = jnp.stack([b0, b1], axis=-1).reshape(w.shape[0], cap)
+        scale = jax.lax.bitcast_convert_type(
+            buf[:, voff + cap // 2], jnp.float16
+        ).astype(jnp.float32)
+        vals = q.astype(jnp.float32) * scale[:, None]
+    elif val_dtype == "float16":
+        vals = jax.lax.bitcast_convert_type(buf[:, voff:], jnp.float16).astype(
+            jnp.float32
+        )
+    elif val_dtype == "bfloat16":
         vals = jax.lax.bitcast_convert_type(buf[:, voff:], jnp.bfloat16).astype(
             jnp.float32
         )
@@ -782,9 +824,12 @@ class CompiledHierModel:
         the C++ override) or a tuple of per-layer names.
 
         ``wire_value_dtype``: dtype of query values on the host->device wire
-        ("float32" exact, or "bfloat16" to halve their wire bytes — scores are
-        then computed from values rounded to 8 mantissa bits; measured top-k
-        agreement at the Wiki-500K geometry is in benchmarks/README.md).
+        ("float32" exact; "float16" or "bfloat16" halve their wire bytes —
+        scores are then computed from values rounded to 11/8 mantissa bits
+        respectively; measured top-k agreement at the Wiki-500K geometry is
+        in benchmarks/README.md).  float16 is the better half-width choice
+        for TF-IDF-range values (|v| << 65504, so the narrow f16 exponent
+        never saturates and the 3 extra mantissa bits are free precision).
         Query ids always travel bit-packed (exact; see pack_query_ids).
         """
         if X.shape[1] != self.nr_features:
@@ -828,8 +873,14 @@ class CompiledHierModel:
             fn = self._wire_predictor(
                 beam_size, only_topk, pp_names, batch, cap, wire_value_dtype
             )
-            pending = []
-            for i in range(nb):
+
+            # Producer thread packs+encodes batch i+1 while the main thread
+            # enqueues batch i's (async) upload: the ~50 MB/s tunnel never
+            # idles waiting on host prep (~6 ms/batch, measured
+            # scripts/probe_overlap.py — serial prep cost the r4 bench ~20%
+            # of its end-to-end time).  Queue depth 2 bounds host memory to
+            # two wire buffers beyond the one in flight.
+            def _prep(i):
                 ids_b, vals_b = prepare_queries_padded(
                     A[i * batch : (i + 1) * batch], cap=cap
                 )
@@ -837,8 +888,26 @@ class CompiledHierModel:
                     pad = batch - ids_b.shape[0]
                     ids_b = np.vstack([ids_b, np.full((pad, cap), D + 1, np.int32)])
                     vals_b = np.vstack([vals_b, np.zeros((pad, cap), np.float32)])
-                buf = encode_wire_batch(ids_b, vals_b, D, wire_value_dtype)
-                pending.append(fn(jnp.asarray(buf), self.layers))
+                return encode_wire_batch(ids_b, vals_b, D, wire_value_dtype)
+
+            pending = []
+            if nb > 1:
+                import queue as _queue
+                import threading as _threading
+
+                bufq: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+                def _producer():
+                    for i in range(nb):
+                        bufq.put(_prep(i))
+
+                th = _threading.Thread(target=_producer, daemon=True)
+                th.start()
+                for _ in range(nb):
+                    pending.append(fn(jnp.asarray(bufq.get()), self.layers))
+                th.join()
+            elif nb:
+                pending.append(fn(jnp.asarray(_prep(0)), self.layers))
         else:
             Xd = prepare_queries(X, self.bias)
             fn = self._predictor(beam_size, only_topk, pp_names, batch)

@@ -195,3 +195,18 @@ def test_wire_format_roundtrip():
         import ml_dtypes
         np.testing.assert_array_equal(
             vals3, vals.astype(ml_dtypes.bfloat16).astype(np.float32))
+        buf = encode_wire_batch(ids, vals, D, "float16")
+        ids4, vals4 = (np.asarray(a) for a in decode_wire_batch(
+            jax.numpy.asarray(buf), D, cap, "float16"))
+        np.testing.assert_array_equal(ids4, ids)
+        np.testing.assert_array_equal(
+            vals4, vals.astype(np.float16).astype(np.float32))
+        buf = encode_wire_batch(ids, vals, D, "uint8")
+        ids5, vals5 = (np.asarray(a) for a in decode_wire_batch(
+            jax.numpy.asarray(buf), D, cap, "uint8"))
+        np.testing.assert_array_equal(ids5, ids)
+        step = (np.abs(vals).max(axis=1) / 127.0).astype(np.float16)
+        q = np.clip(np.rint(vals / step.astype(np.float32)[:, None]), -127, 127)
+        np.testing.assert_allclose(
+            vals5, (q * step.astype(np.float32)[:, None]).astype(np.float32),
+            rtol=0, atol=0)
