@@ -168,15 +168,25 @@ def main():
     vals = rng.standard_normal(n_queries * nnz).astype(np.float32) * 0.1
     Xq = smat.csr_matrix((vals, (rows, cols)), shape=(n_queries, D))
 
-    # warmup (compile)
-    P = model.predict(Xq[:batch], beam_size=10, only_topk=20, batch_size=batch)
+    # warmup (compile).  Query values ride the wire as float16 (halves their
+    # upload bytes through the ~70 MB/s tunnel); measured top-20 agreement vs
+    # the exact float32 wire at this geometry is 99.92% (benchmarks/README.md),
+    # and scores on-device are still computed in float32.
+    wire_dtype = "float16"
+    P = model.predict(
+        Xq[:batch], beam_size=10, only_topk=20, batch_size=batch,
+        wire_value_dtype=wire_dtype,
+    )
     setup_s = time.time() - t_setup
 
     iters = 4
     best = None
     for _ in range(iters):
         t0 = time.time()
-        P = model.predict(Xq, beam_size=10, only_topk=20, batch_size=batch)
+        P = model.predict(
+            Xq, beam_size=10, only_topk=20, batch_size=batch,
+            wire_value_dtype=wire_dtype,
+        )
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
     qps = n_queries / best
