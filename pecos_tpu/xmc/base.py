@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses as dc
+import functools
 import json
 import logging
 import os
@@ -48,6 +49,58 @@ _SOLVER_BLOCK_BUDGET = 1 << 26
 # bucket solver to the global sparse-rows solver (tests shrink this to
 # exercise the big-cluster path on toy data)
 _LOCAL_DENSE_BUDGET = 1 << 27
+
+
+@functools.partial(jax.jit, static_argnames=("D", "bias"))
+def _scatter_dense(ids: jax.Array, vals: jax.Array, *, D: int, bias: float) -> jax.Array:
+    """(N, cap) padded sparse rows (pad id = D+1) -> dense (N, Db) on device."""
+    N = ids.shape[0]
+    Xb = jnp.zeros((N, D + 2), jnp.float32)
+    Xb = Xb.at[jnp.arange(N)[:, None], ids].add(vals)
+    if bias > 0:
+        Xb = Xb.at[:, D].set(jnp.float32(bias))
+        return Xb[:, : D + 1]
+    return Xb[:, :D]
+
+
+def _dense_X_device(X, bias: float) -> jax.Array:
+    """Device-resident dense [X | bias] (N, Db), built from ONE nnz-sized
+    padded sparse upload + a device-side scatter, cached on the matrix object.
+
+    The old dense-mode path materialized X dense on host and re-uploaded
+    N*D*4 bytes per dense-mode layer (328 MB x 2 layers at the 20K benchmark
+    geometry); the padded sparse wire is ~nnz*8 bytes and later layers of the
+    same hierarchical train reuse the cached device array.  The cache is keyed
+    by buffer identity (indptr/indices/data), so replacing the matrix buffers
+    invalidates it; in-place writes to X.data between layers do not (no PECOS
+    path does that mid-train).
+    """
+    if not smat.issparse(X):
+        Xd = np.asarray(X, np.float32)
+        if bias > 0:
+            Xd = np.hstack([Xd, np.full((Xd.shape[0], 1), bias, np.float32)])
+        return jnp.asarray(Xd)
+    A = X.tocsr()
+    cached = getattr(A, "_ptpu_xdev", None)
+    if (
+        cached is not None
+        and cached[0] == float(bias)
+        and cached[1] is A.indptr
+        and cached[2] is A.indices
+        and cached[3] is A.data
+    ):
+        return cached[4]
+    from .inference import prepare_queries_padded
+
+    ids, vals = prepare_queries_padded(A)
+    X_dev = _scatter_dense(
+        jnp.asarray(ids), jnp.asarray(vals), D=A.shape[1], bias=float(bias)
+    )
+    try:
+        A._ptpu_xdev = (float(bias), A.indptr, A.indices, A.data, X_dev)
+    except Exception:  # exotic matrix types without __dict__
+        pass
+    return X_dev
 
 
 class MLProblem(object):
@@ -239,18 +292,20 @@ class MLModel(pecos_tpu.BaseClass):
         if mode == "bucketed":
             return cls._train_bucketed(prob, train_params, pred_params, loss)
 
-        Xd = np.asarray(X.todense(), dtype=np.float32) if smat.issparse(X) else np.asarray(X, np.float32)
-        if bias > 0:
-            Xd = np.hstack([Xd, np.full((N, 1), bias, dtype=np.float32)])
-        X_dev = jnp.asarray(Xd)
-        Db = Xd.shape[1]
+        X_dev = _dense_X_device(X, bias)
+        Db = X_dev.shape[1]
 
         parents = C.tocsr().indices.astype(np.int64)  # one cluster per label
         M_csc = M.tocsc()
         Y_csc = Y.tocsc()
         R_csc = R.tocsc() if R is not None else None
 
-        block = max(8, min(2048, _SOLVER_BLOCK_BUDGET // max(N, 1)))
+        # block sized to the layer: padding every layer to one fixed 2048-wide
+        # block re-solved a 16-label top layer at 128x its real width (and
+        # uploaded 2048-wide y/c masks for it); pow2 bucketing still bounds
+        # compile count to O(log L) shapes per (N, Db)
+        L_pow2 = max(8, 1 << max(L - 1, 1).bit_length())
+        block = max(8, min(2048, _SOLVER_BLOCK_BUDGET // max(N, 1), L_pow2))
         W_cols: List[smat.csc_matrix] = []
         max_nnz = train_params.max_nonzeros_per_label or Db
         for s in range(0, L, block):
