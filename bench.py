@@ -206,38 +206,23 @@ def main():
     jax.device_get(outs[-1])
     compute_ms = (time.time() - t0) / citers * 1000
 
-    # batch-1 realtime latency (dedicated batch=1 compile; p50/p99)
-    fn1 = model._sparse_predictor(10, 20, ("l3-hinge",) * model.depth, 1, cap)
-    i1, v1 = jnp.asarray(ids_all[:1]), jnp.asarray(vals_all[:1])
-    jax.device_get(fn1(i1, v1, model.layers))
+    # batch-1 realtime latency through the public serving API: persistent
+    # session, one dispatch + one fetch per call (p50/p99), and the
+    # engine-only on-device latency via chained dependent walks — separates
+    # engine latency from the tunnel round trip (scripts/probe_latency.py
+    # measured the empty dispatch+fetch RTT alone at ~28 ms on this testbed;
+    # a host-attached chip pays PCIe microseconds).
+    sess = model.realtime_session(beam_size=10, only_topk=20, batch=1, cap=cap)
+    X1 = Xq[:1]
+    sess.predict(X1)  # warm the wire path
     lat = []
     for t in range(50):
         t0 = time.time()
-        jax.device_get(fn1(i1, v1, model.layers))
+        sess.predict(X1)
         lat.append((time.time() - t0) * 1000)
     b1_p50 = float(np.percentile(lat, 50))
     b1_p99 = float(np.percentile(lat, 99))
-
-    # batch-1 on-device latency: chain K dependent walks (next query's ids are
-    # shifted by the previous top label, forcing strict sequential execution)
-    # and fetch once — separates engine latency from the tunnel round trip
-    # (scripts/probe_latency.py measured the empty dispatch+fetch RTT alone at
-    # ~28 ms on this testbed; a host-attached chip pays PCIe microseconds).
-    @jax.jit
-    def _chained(i, v, layers):
-        lbl, _ = fn1(i, v, layers)
-        shift = (lbl[0, 0] % jnp.int32(7)).astype(jnp.int32)
-        return jnp.where(i >= D + 1, i, (i + shift) % jnp.int32(D)), v, lbl
-
-    ii, vv, out = _chained(i1, v1, model.layers)
-    jax.device_get(out)  # warm
-    KCH = 32
-    ii, vv = i1, v1
-    t0 = time.time()
-    for _ in range(KCH):
-        ii, vv, out = _chained(ii, vv, model.layers)
-    jax.device_get(out)
-    b1_dev_ms = (time.time() - t0) * 1000 / KCH
+    b1_dev_ms = sess.on_device_latency_ms(X1, iters=32)
 
     # empty dispatch+fetch RTT (the serving floor this testbed's tunnel adds)
     f_id = jax.jit(lambda x: x + 1.0)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import copy
 import dataclasses as dc
 import functools
+from collections import deque
 import json
 import logging
 import os
@@ -308,61 +309,74 @@ class MLModel(pecos_tpu.BaseClass):
         block = max(8, min(2048, _SOLVER_BLOCK_BUDGET // max(N, 1), L_pow2))
         W_cols: List[smat.csc_matrix] = []
         max_nnz = train_params.max_nonzeros_per_label or Db
+        thr = float(train_params.threshold)
+        Cp_s = np.float32(train_params.Cp)
+        Cn_s = np.float32(train_params.Cn)
+        pending: deque = deque()  # (Wb_dev, Lb) in block order
+
+        def retire(limit: int) -> None:
+            # prune ON DEVICE (threshold + max nonzeros, linear_solver.hpp:718-778)
+            # and download the sparse (idx, val) pairs: the device->host link
+            # is the training bottleneck, not the solve itself
+            while len(pending) > limit:
+                Wb_dev, Lb = pending.popleft()
+                K = min(max_nnz, Db)
+                if thr > 0:
+                    K = min(
+                        K, int(jax.device_get(solvers.count_above_threshold(Wb_dev, thr)))
+                    )
+                if K < Db // 2:
+                    K_pad = max(8, 1 << max(K - 1, 1).bit_length())  # pow2 shape bucket
+                    idx, vals = solvers.prune_topk_device(Wb_dev, thr, min(K_pad, Db))
+                    # top_k is magnitude-sorted: trimming to K on host keeps the
+                    # exact max_nonzeros_per_label semantics despite the pow2 pad
+                    idx = np.asarray(jax.device_get(idx))[:Lb, :K]
+                    vals = np.asarray(jax.device_get(vals))[:Lb, :K]
+                    nz = vals.ravel() != 0
+                    coo_cols = np.repeat(np.arange(Lb), idx.shape[1])[nz]
+                    W_cols.append(
+                        smat.csc_matrix(
+                            (vals.ravel()[nz], (idx.ravel()[nz], coo_cols)), shape=(Db, Lb)
+                        )
+                    )
+                else:
+                    Wb = np.array(jax.device_get(Wb_dev))[:, :Lb]
+                    Wb[np.abs(Wb) < thr] = 0.0
+                    W_cols.append(smat.csc_matrix(Wb))
+
         for s in range(0, L, block):
             e = min(s + block, L)
             Lb = e - s
-            Yb = np.asarray(Y_csc[:, s:e].todense())
-            Mb = np.asarray(M_csc[:, parents[s:e]].todense())
-            y = np.where(Yb > 0, 1.0, -1.0).astype(np.float32)
-            active = ((Mb != 0) | (Yb > 0)).astype(np.float32)
+            # uint8 coded wire (0 inactive, 1 pos, 2 neg), decoded to (y, c) on
+            # device: 8x fewer upload bytes than two f32 masks.  Trailing pad
+            # columns stay code 0 (c=0 -> w=0), reusing ONE compiled shape.
+            codes = np.zeros((N, block), np.uint8)
+            sub = codes[:, :Lb]
+            sub[np.asarray(M_csc[:, parents[s:e]].todense()) != 0] = 2
+            sub[np.asarray(Y_csc[:, s:e].todense()) > 0] = 1
             if R_csc is not None:
-                Rb = np.asarray(R_csc[:, s:e].todense(), dtype=np.float32)
-                pos_cost = Rb
+                Rb = np.zeros((N, block), np.float32)
+                Rb[:, :Lb] = np.asarray(R_csc[:, s:e].todense(), dtype=np.float32)
+                R_dev = jnp.asarray(Rb)
             else:
-                pos_cost = 1.0
-            c = active * np.where(y > 0, train_params.Cp * pos_cost, train_params.Cn).astype(
-                np.float32
-            )
-            if Lb < block:
-                # pad the trailing partial block so every layer reuses ONE
-                # compiled solver shape (zero-cost labels solve to w=0)
-                pad = block - Lb
-                y = np.hstack([y, np.ones((N, pad), np.float32)])
-                c = np.hstack([c, np.zeros((N, pad), np.float32)])
-            Wb_dev = solvers.solve_block(
+                R_dev = None
+            Wb_dev = solvers.solve_block_coded(
                 X_dev,
-                jnp.asarray(y),
-                jnp.asarray(c),
+                jnp.asarray(codes),
+                Cp_s,
+                Cn_s,
+                R_dev,
                 loss=loss,
                 eps=train_params.newton_eps,
                 max_newton=train_params.max_newton_iter,
                 cg_max=train_params.cg_max_iter,
+                has_R=R_csc is not None,
             )
-            # prune ON DEVICE (threshold + max nonzeros, linear_solver.hpp:718-778)
-            # and download the sparse (idx, val) pairs: the device->host link
-            # is the training bottleneck, not the solve itself
-            thr = float(train_params.threshold)
-            K = min(max_nnz, Db)
-            if thr > 0:
-                K = min(K, int(jax.device_get(solvers.count_above_threshold(Wb_dev, thr))))
-            if K < Db // 2:
-                K_pad = max(8, 1 << max(K - 1, 1).bit_length())  # pow2 shape bucket
-                idx, vals = solvers.prune_topk_device(Wb_dev, thr, min(K_pad, Db))
-                # top_k is magnitude-sorted: trimming to K on host keeps the
-                # exact max_nonzeros_per_label semantics despite the pow2 pad
-                idx = np.asarray(jax.device_get(idx))[:Lb, :K]
-                vals = np.asarray(jax.device_get(vals))[:Lb, :K]
-                nz = vals.ravel() != 0
-                coo_cols = np.repeat(np.arange(Lb), idx.shape[1])[nz]
-                W_cols.append(
-                    smat.csc_matrix(
-                        (vals.ravel()[nz], (idx.ravel()[nz], coo_cols)), shape=(Db, Lb)
-                    )
-                )
-            else:
-                Wb = np.array(jax.device_get(Wb_dev))[:, :Lb]
-                Wb[np.abs(Wb) < thr] = 0.0
-                W_cols.append(smat.csc_matrix(Wb))
+            pending.append((Wb_dev, Lb))
+            # keep 2 solves in flight so the next block's host prep + upload
+            # overlap the device solve; retire in order
+            retire(2)
+        retire(0)
         W = smat.hstack(W_cols, format="csc") if W_cols else smat.csc_matrix((Db, 0))
         return cls(W=W, C=C, bias=bias, pred_params=pred_params)
 
@@ -885,6 +899,10 @@ class PredictOnlyHierModel(pecos_tpu.BaseClass):
     def _get_compiled(self):
         return self._compiled
 
+    def realtime_session(self, **kwargs):
+        """Persistent low-latency predict session (inference.RealtimeSession)."""
+        return self._compiled.realtime_session(**kwargs)
+
 
 class HierarchicalMLModel(pecos_tpu.BaseClass):
     """Chain of MLModels forming the hierarchical linear model."""
@@ -1113,6 +1131,10 @@ class HierarchicalMLModel(pecos_tpu.BaseClass):
                 nr_features=self.nr_features,
             )
         return self._compiled
+
+    def realtime_session(self, **kwargs):
+        """Persistent low-latency predict session (inference.RealtimeSession)."""
+        return self._get_compiled().realtime_session(**kwargs)
 
     def predict(
         self,

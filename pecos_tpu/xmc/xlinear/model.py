@@ -215,6 +215,14 @@ class XLinearModel(pecos_tpu.BaseClass):
     def predict_on_selected_outputs(self, X, selected_outputs_csr, **kwargs):
         return self.model.predict_on_selected_outputs(X, selected_outputs_csr, **kwargs)
 
+    def realtime_session(self, **kwargs):
+        """Open a persistent low-latency (batch-1-class) predict session.
+
+        Compiles the beam-walk executable once; each ``predict`` call is one
+        dispatch + one fetch.  See inference.RealtimeSession — the analog of
+        the reference's realtime predict mode (inference.hpp:2030-2080)."""
+        return self.model.realtime_session(**kwargs)
+
     def set_output_constraint(self, labels_to_keep):
         """Prune the tree to only output the given labels (reference :289)."""
         self.model.set_output_constraint(labels_to_keep)

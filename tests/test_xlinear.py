@@ -210,3 +210,39 @@ def test_wire_format_roundtrip():
         np.testing.assert_allclose(
             vals5, (q * step.astype(np.float32)[:, None]).astype(np.float32),
             rtol=0, atol=0)
+
+
+def test_realtime_session_matches_batch_predict(trained):
+    X, Y, xlm = trained
+    sess = xlm.realtime_session(beam_size=6, only_topk=4, batch=1, cap=16)
+    ref = xlm.predict(X[:5], beam_size=6, only_topk=4)
+    for i in range(5):
+        one = sess.predict(X[i])
+        np.testing.assert_allclose(
+            np.asarray(one.todense()),
+            np.asarray(ref[i].todense()),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+    # microbatch session: 4 rows in one dispatch, including a short batch
+    sess4 = xlm.realtime_session(beam_size=6, only_topk=4, batch=4, cap=16)
+    got = sess4.predict(X[:3])
+    np.testing.assert_allclose(
+        np.asarray(got.todense()), np.asarray(ref[:3].todense()), rtol=1e-5, atol=1e-6
+    )
+    # engine-only latency is measurable and positive
+    assert sess.on_device_latency_ms(X[:1], iters=3) > 0.0
+
+
+def test_realtime_session_errors(trained):
+    X, Y, xlm = trained
+    sess = xlm.realtime_session(batch=1, cap=16)
+    with pytest.raises(ValueError, match="batch"):
+        sess.predict(X[:2])
+    with pytest.raises(ValueError, match="Feature dimension"):
+        sess.predict(smat.csr_matrix((1, X.shape[1] + 3), dtype=np.float32))
+    dense_row = np.ones((1, X.shape[1]), np.float32)  # nnz 16 == cap is fine
+    sess.predict(dense_row)
+    sess_small = xlm.realtime_session(batch=1, cap=8)
+    with pytest.raises(ValueError, match="cap"):
+        sess_small.predict(dense_row)
