@@ -214,6 +214,22 @@ class HNSW(pecos_tpu.BaseClass):
         # L0-connected node.  auto = on for the device-resident (fast) build
         # path at N >= 65536; reverse_alg4 stays on the host-grouped loop.
         build_scan: str = "auto"  # auto | true | false
+        # Intra-batch candidate merge (scan build): points inserted in the
+        # same batch search the PRE-batch graph and so never see each other —
+        # the defect the full-beam refine pass exists to repair.  Merging the
+        # top-build_intra_k same-batch neighbors (ONE (B, B) MXU matmul on
+        # features already in registers — no gathers) into each point's
+        # candidate list fixes it at insert time for ~zero cost, where the
+        # refine pass re-walks the whole graph (~40% of 1M build wall-clock).
+        # 0 disables.  The reference's sequential insert has no such defect
+        # (and no such pass) — hnsw.hpp:805-846 inserts one point at a time.
+        build_intra_k: int = 32
+        # Partial refine (scan mode): re-search only the earliest-inserted
+        # fraction of nodes — the ones whose forward lists were built while
+        # the graph was small and are therefore stale — against the LIVE
+        # graph, scatter their re-selected lists, and reverse-merge.  Costs
+        # ~fraction of a full pass.  1.0 = the classic full-rebuild pass.
+        refine_fraction: float = 1.0
 
     @dc.dataclass
     class PredParams(pecos_tpu.BaseParams):
@@ -681,12 +697,48 @@ class HNSW(pecos_tpu.BaseClass):
                     )
                 return Q, ids_d, dists_d
 
+            # dense-only: sparse Q rows are padded (ids, vals) pairs, not a
+            # matmul-able block (and sparse scan builds are opt-in anyway)
+            intra_k = 0 if use_sparse else min(int(params.build_intra_k), B - 1)
+
+            def _intra_merge(Q, bids_row, ids_d, dists_d):
+                """Merge top-intra_k SAME-BATCH neighbors into the candidate
+                list.  Same-batch points are absent from the searched graph by
+                construction, so no dedup is needed; one (B, B) MXU matmul on
+                the already-gathered Q rows costs no extra HBM traffic."""
+                f32 = jnp.float32
+                dots = jnp.einsum(
+                    "bd,cd->bc", Q, Q, preferred_element_type=f32
+                )
+                if metric == "ip":
+                    Dq = 1.0 - dots
+                else:
+                    nn = jnp.sum(Q.astype(f32) * Q.astype(f32), axis=-1)
+                    Dq = nn[:, None] + nn[None, :] - 2.0 * dots
+                invalid = (bids_row >= N) | (bids_row < 0)
+                Bsz = bids_row.shape[0]
+                mask = invalid[None, :] | jnp.eye(Bsz, dtype=bool)
+                Dq = jnp.where(mask, INF, Dq)
+                neg_d, idx = jax.lax.top_k(-Dq, intra_k)  # (B, k)
+                in_ids = jnp.where(neg_d > -INF / 2, bids_row[idx], -1)
+                in_d = jnp.where(neg_d > -INF / 2, -neg_d, INF)
+                all_ids = jnp.concatenate([ids_d, in_ids], axis=1)
+                all_d = jnp.concatenate([dists_d, in_d], axis=1)
+                order = jnp.argsort(all_d, axis=1)
+                E = ids_d.shape[1]  # keep select at the original width
+                return (
+                    jnp.take_along_axis(all_ids, order, axis=1)[:, :E],
+                    jnp.take_along_axis(all_d, order, axis=1)[:, :E],
+                )
+
             def _l0_body(carry, bids_row, frozen):
                 if use_pq_build:
                     n0, d0, desc = carry
                 else:
                     (n0, d0), desc = carry, None
-                _, ids_d, dists_d = _search_l0(frozen, n0, desc, bids_row, ef_ins)
+                Q, ids_d, dists_d = _search_l0(frozen, n0, desc, bids_row, ef_ins)
+                if intra_k > 0:
+                    ids_d, dists_d = _intra_merge(Q, bids_row, ids_d, dists_d)
                 sel_ids, sel_d = batch_select_from_search(
                     frozen["feats"], ids_d, dists_d, M=M, metric=metric,
                     sketch=frozen["sketch"], pool=sel_pool,
@@ -777,8 +829,66 @@ class HNSW(pecos_tpu.BaseClass):
                     lambda c, x: _merge_body(c, x, newi, newdv, codesf), carry, xs
                 )[0]
 
+            def _pref_body(carry, nodes_row, frozen):
+                """Partial-refine one batch IN PLACE: search the live carry,
+                union with current neighbors (insertion-time links survive),
+                re-select, scatter, reverse-merge — the insert body plus the
+                union step, so only the scanned rows change."""
+                if use_pq_build:
+                    n0, d0, desc = carry
+                else:
+                    (n0, d0), desc = carry, None
+                _, ids_d, dists_d = _search_l0(frozen, n0, desc, nodes_row, efC)
+                nodes_key = jnp.where(nodes_row >= N, jnp.int32(-2), nodes_row)
+                all_ids, all_d = refine_union_candidates(n0, d0, nodes_key, ids_d, dists_d)
+                sel, sel_dv = batch_select_from_search(
+                    frozen["feats"], all_ids, all_d, M=M, metric=metric,
+                    sketch=frozen["sketch"], pool=sel_pool,
+                )
+                if use_pq_build:
+                    n0, d0, desc = scatter_set_rows_packed_d(
+                        n0, d0, desc, frozen["codes"], nodes_row, sel, sel_dv
+                    )
+                    n0, d0, desc = reverse_merge_closest_packed(
+                        n0, d0, desc, frozen["codes"], nodes_row, sel, sel_dv
+                    )
+                    return (n0, d0, desc), None
+                n0, d0 = scatter_set_rows_d(n0, d0, nodes_row, sel, sel_dv)
+                n0, d0 = reverse_merge_closest(n0, d0, nodes_row, sel, sel_dv)
+                return (n0, d0), None
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _run_pref(carry, frozen, xs):
+                return jax.lax.scan(lambda c, x: _pref_body(c, x, frozen), carry, xs)[0]
+
         for it in range(max(0, params.refine_iters)):
             LOGGER.info("hnsw refine pass %d/%d", it + 1, params.refine_iters)
+            if use_scan and 0.0 < params.refine_fraction < 1.0:
+                # partial refine: earliest-inserted level-0 fraction plus all
+                # upper-level points (their L0 rows were built first of all)
+                n_part = int(params.refine_fraction * len(l0_pts))
+                nodes_sel = np.concatenate(
+                    [np.where(levels > 0)[0].astype(np.int32), l0_pts[:n_part]]
+                )
+                nbp = -(-len(nodes_sel) // B)
+                nbp_pad = -(-nbp // SEG) * SEG
+                nodes_all = np.full(nbp_pad * B, N, np.int32)
+                nodes_all[: len(nodes_sel)] = nodes_sel
+                nodes_mat = nodes_all.reshape(nbp_pad, B)
+                carry = (dev_n0, dev_d0, nbr_desc) if use_pq_build else (dev_n0, dev_d0)
+                t_ref = time.time()
+                for s in range(0, nbp_pad, SEG):
+                    carry = _run_pref(carry, frozen_common, jnp.asarray(nodes_mat[s : s + SEG]))
+                    LOGGER.info(
+                        "hnsw partial refine: scanned %d/%d batches (%.1fs)",
+                        min(s + SEG, nbp_pad), nbp_pad, time.time() - t_ref,
+                    )
+                carry = jax.block_until_ready(carry)
+                if use_pq_build:
+                    dev_n0, dev_d0, nbr_desc = carry
+                else:
+                    dev_n0, dev_d0 = carry
+                continue
             if use_scan:
                 # refine as two scans: (a) re-search + re-select every node's
                 # forward edges against the FROZEN graph, (b) rebuild L0 and

@@ -382,3 +382,25 @@ def test_pq_apply_lut_matches_direct_indexing():
     s_idx = np.arange(S)
     ref = lut[np.arange(B)[:, None, None], s_idx[None, None, :], c].sum(-1)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_scan_build_partial_refine():
+    """refine_fraction < 1 re-searches only the earliest-inserted level-0
+    fraction (plus all upper-level points) against the LIVE graph instead of
+    rebuilding every node's list; recall must track the full-refine build.
+    Also exercises build_intra_k (same-batch candidate merge, on by default
+    for dense scan builds) and its off branch."""
+    X, Q = _data(n=600, nq=50, d=32, seed=17)
+    true_ids = _exact_topk(X, Q, 10, "l2")
+    for extra in (
+        dict(),
+        dict(build_intra_k=0),
+        dict(build_pq="true", build_pq_min_points=0),
+    ):
+        model = HNSW.train(
+            X, M=16, efC=80, metric_type="l2", build_batch_size=128,
+            build_scan="true", refine_iters=1, refine_fraction=0.3, **extra,
+        )
+        ids, _ = model.predict(Q, efS=100, topk=10)
+        rec = _recall(ids, true_ids)
+        assert rec >= 0.97, f"partial-refine scan build recall={rec} ({extra})"
